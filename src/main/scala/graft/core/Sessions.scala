@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine.
+  *
+  * Local mode (`local[N]`) is a single-JVM stand-in for a multi-executor
+  * cluster; everything configured here (AQE, shuffle partitions, skew-join
+  * splitting) is exactly what the production `spark-submit` conf would set.
+  */
+object Sessions {
+
+  /** Build a session at a given parallelism level. `cores` doubles as the
+    * shuffle-partition count locally; on a real cluster shuffle partitions
+    * are sized to ~2-3x total executor cores and AQE coalesces from there.
+    */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.crossJoin.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

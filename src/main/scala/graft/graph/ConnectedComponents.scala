@@ -1,0 +1,115 @@
+package graft.graph
+
+import graft.ingest.Edge
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components via alternating large-star / small-star hash-to-min
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
+  * — public algorithm), expressed as DataFrame joins/aggregations.
+  *
+  * Reference precedent: the induced connected-subgraph computation in
+  * vis/process.py:28-31 and the isolated-vs-connected node split in
+  * create_field/graph.py:56-62 — generalized to full CC with component id
+  * = min vertex id (deterministic tie-break, parallelism-invariant).
+  *
+  * Scale: converges in O(log n) rounds on any graph (vs O(diameter) for
+  * plain min propagation — a 10^12-edge web-ish graph has long chains).
+  * Each round is two groupBy shuffles; hub-vertex skew in the neighborhood
+  * grouping is absorbed by map-side partial aggregation of `min`.
+  */
+object ConnectedComponents {
+
+  final case class CcResult(components: DataFrame, rounds: Int) // (id, component)
+
+  /** For each vertex u (over both edge directions), the min of its
+    * neighborhood including itself.
+    */
+  private def neighborhoodMin(bidir: DataFrame): DataFrame =
+    bidir
+      .groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("m"))
+
+  /** large-star: connect every strictly-greater neighbor of u to m(u). */
+  private def largeStar(bidir: DataFrame): DataFrame = {
+    val m = neighborhoodMin(bidir)
+    bidir
+      .join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** small-star: for each u, connect all ≤-neighbors and u itself to the
+    * min among them.
+    */
+  private def smallStar(bidir: DataFrame): DataFrame = {
+    val le = bidir.filter(col("v") < col("u"))
+    val m = le.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val reattached = le
+      .join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+    val selfEdge = m.select(col("u"), col("m").as("v"))
+    reattached.union(selfEdge).filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Run to fixpoint. Returns (id, component) for every vertex that
+    * appears in the edge set; `component` is the min vertex id of the
+    * component. Isolated vertices (if supplied) map to themselves.
+    */
+  def run(edges: Dataset[Edge], maxRounds: Int = 50): CcResult = {
+    val spark = edges.sparkSession
+    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val allVerts = edges.toDF
+      .select(col("src").as("id"))
+      .union(edges.toDF.select(col("dst").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    allVerts.count()
+
+    // canonical undirected simple edges, self-loops dropped
+    // Eager localCheckpoint per round: truncates lineage and avoids the
+    // CacheManager invalidate-rebuild trap of persist/unpersist chains
+    // (see PageRank.iterate).
+    var e = edges.toDF
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(P, col("u"))
+      .localCheckpoint(true)
+
+    var rounds = 0
+    var stable = false
+    var prevSig: (Long, Long) = signature(e)
+
+    while (!stable && rounds < maxRounds) {
+      val bidirL = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val afterLarge = largeStar(bidirL)
+      val bidirS = afterLarge.union(afterLarge.select(col("v").as("u"), col("u").as("v")))
+      val next = smallStar(bidirS)
+        .repartition(P, col("u"))
+        .localCheckpoint(true)
+      val sig = signature(next)
+      e = next
+      rounds += 1
+      stable = sig == prevSig
+      prevSig = sig
+    }
+
+    // At fixpoint the edge set is a star forest: every non-root points at
+    // its component min. Roots (and isolated vertices) map to themselves.
+    val mapping = e.select(col("u").as("id"), col("v").as("component"))
+    val components = allVerts
+      .join(mapping, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    CcResult(components, rounds)
+  }
+
+  private def signature(e: DataFrame): (Long, Long) = {
+    // bit_xor: order-insensitive, overflow-free (edge set is distinct).
+    val r = e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+    (r.getLong(0), r.getLong(1))
+  }
+}
