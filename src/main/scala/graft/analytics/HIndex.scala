@@ -23,7 +23,7 @@ object HIndex {
     * 0-based == `citation >= row_number` 1-based.
     */
   def perGroup(df: DataFrame, groupCol: String, citationCol: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(citationCol).desc)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__c").desc)
     df.select(col(groupCol), col(citationCol).cast("long").as("__c"))
       .withColumn("__rn", row_number().over(w))
       .groupBy(col(groupCol))

@@ -149,14 +149,16 @@ object KeyPapers {
   // Spark map construction (create_mappings.py)
   // --------------------------------------------------------------------
 
-  /** (first-author, co-author) pair counts — J4 self-join with theta
-    * filter (create_mappings.py:8-13): for each paper, pair every
-    * authorOrder>1 author with the authorOrder==1 author.
+  /** (top author, first-author) pair counts — J4 join with theta filter
+    * (create_mappings.py:8-13): the TOP-author rows with authorOrder>1
+    * are paired against the authorOrder==1 row of the SAME paper drawn
+    * from the full paper_author table (filtered ⋈ unfiltered, as in the
+    * reference's merge of df_paper_author_filtered with df_paper_author).
     */
-  def firstAuthorPairs(paperAuthor: DataFrame): DataFrame = {
-    val first = paperAuthor.filter(col("authorOrder") === 1)
+  def firstAuthorPairs(paperAuthorFiltered: DataFrame, paperAuthorAll: DataFrame): DataFrame = {
+    val first = paperAuthorAll.filter(col("authorOrder") === 1)
       .select(col("paperID"), col("authorID").as("authorID_first"))
-    paperAuthor
+    paperAuthorFiltered
       .filter(col("authorOrder") > 1)
       .join(first, "paperID")
       .groupBy(col("authorID"), col("authorID_first"))
@@ -247,7 +249,8 @@ object KeyPapers {
       .select(col("paperID"), col("authorID").as("firstAuthorID"))
 
     val faPairs = firstAuthorPairs(
-      paperAuthor.join(topAuthors.select(col("authorID")), Seq("authorID"), "left_semi"))
+      paperAuthor.join(topAuthors.select(col("authorID")), Seq("authorID"), "left_semi"),
+      paperAuthor)
     val (paperCountMap, weightedMap) = paperCountMaps(paperAuthor, papers)
     val (coWeighted, coPlain) = coAuthorMaps(paperAuthor, papers, faPairs)
 
