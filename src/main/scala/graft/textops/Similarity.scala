@@ -1,0 +1,134 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline;
+  *    query set joined against the full corpus (queries are broadcast
+  *    when small), dot products via `zip_with`+`aggregate` (codegen'd
+  *    higher-order functions, no UDF);
+  *  - `lshTopK`: random-hyperplane LSH — the scale path: sign-bit
+  *    signatures bucket the corpus, candidates come from an equi join on
+  *    (table, bucket), then exact cosine re-ranks. Hyperplanes are
+  *    deterministic (seeded md5 folded to [-1,1]), so results are
+  *    reproducible at any parallelism.
+  *
+  * Embedding-cosine near-dup (pairs above a cosine threshold) reuses the
+  * same bucket join.
+  */
+object Similarity {
+
+  /** cosine(a, b) over two array<float|double> columns, NaN-safe 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k by cosine for each query vector.
+    * queries: (query_id, embedding); corpus: (vec_id, embedding).
+    * Returns (query_id, vec_id, cosine, rank<=k); excludes self-matches
+    * when ids collide.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        cosine(col("q_emb").cast("array<double>"), col("embedding").cast("array<double>")).as("cosine")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: planes(p)(d) ∈ [-1, 1] derived
+    * from md5(seed:p:d). Returned as a literal nested array column.
+    */
+  private def planes(numPlanes: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$p:$d".getBytes("UTF-8"))
+        val v = java.nio.ByteBuffer.wrap(hex).getLong
+        (v.toDouble / Long.MaxValue)
+      }
+    }
+
+  /** Sign-bit LSH signature: bucket = bits of sign(emb · plane_p). */
+  def signatures(df: DataFrame, dim: Int, numPlanes: Int = 16, seed: Int = 42): DataFrame = {
+    val pl = planes(numPlanes, dim, seed)
+    val sigBits = (0 until numPlanes).map { p =>
+      val plane = array(pl(p).map(lit): _*)
+      val dot = aggregate(
+        zip_with(col("embedding").cast("array<double>"), plane, (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", sigBits.reduce(_ + _))
+  }
+
+  /** Approximate top-k: candidates share an LSH bucket band with the
+    * query (multi-probe via `bands` sub-signatures), exact cosine
+    * re-rank. Recall < 1 by construction; bands trade recall vs cost.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, numPlanes: Int = 16, bands: Int = 4, seed: Int = 42
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numPlanes % bands == 0)
+    val rows = numPlanes / bands
+    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      signatures(df, dim, numPlanes, seed).select(
+        col(df.columns.head).as(idAs), col("embedding").as(embAs),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("bucket"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
+          .as(Seq("band", "key"))
+      )
+    val c = banded(corpus, "vec_id", "c_emb")
+    val q = banded(queries, "query_id", "q_emb")
+    val cand = c.join(q, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("c_emb"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb").cast("array<double>"), col("c_emb").cast("array<double>")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine >= threshold), found
+    * via the LSH bucket join, exact-verified. (a < b).
+    */
+  def nearDupPairs(
+      corpus: DataFrame, threshold: Double, dim: Int,
+      numPlanes: Int = 16, bands: Int = 4, seed: Int = 42
+  ): DataFrame = {
+    require(numPlanes % bands == 0)
+    val rows = numPlanes / bands
+    val s = signatures(corpus, dim, numPlanes, seed).select(
+      col("vec_id"), col("embedding"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("bucket"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
+        .as(Seq("band", "key"))
+    )
+    s.select(col("vec_id").as("a"), col("embedding").as("ea"), col("band"), col("key"))
+      .join(s.select(col("vec_id").as("b"), col("embedding").as("eb"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ea"), col("eb"))
+      .distinct()
+      .select(col("a"), col("b"),
+        cosine(col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

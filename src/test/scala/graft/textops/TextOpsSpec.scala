@@ -1,0 +1,176 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  // --- Dedup ------------------------------------------------------------
+
+  test("exact dedup: planted duplicates collapse to min id") {
+    val d = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
+    val got = Dedup.exact(d).collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("shingleTable: distinct character n-grams, normalized") {
+    val d = Seq((1L, "ab  Ab")).toDF("doc_id", "text") // normalizes to "ab ab"
+    val got = Dedup.shingleTable(d, 2, "doc_id", "text").collect().map(_.getString(1)).toSet
+    assert(got == Set("ab", "b ", " a"))
+  }
+
+  test("ngram jaccard finds near-dups and skips unrelated") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog!"),
+      (3L, "completely unrelated content with nothing shared at all zzz")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH: near-identical docs bucket together with high est jaccard") {
+    val base = "spark is a unified analytics engine for large scale data processing "
+    val d = Seq(
+      (1L, base * 3),
+      (2L, base * 3 + "tiny tail"),
+      (3L, "entirely different words live here and none of them repeat the corpus above")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(d, n = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    assert(got((1L, 2L)) > 0.5)
+  }
+
+  test("simhash: near-identical docs within hamming distance; unrelated far") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) <= 3, s"near dup hamming=${ham(sig(1L), sig(2L))}")
+    assert(ham(sig(1L), sig(3L)) > 3, s"unrelated hamming=${ham(sig(1L), sig(3L))}")
+    val pairs = Dedup.simhashPairs(d, maxHamming = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // --- Similarity --------------------------------------------------------
+
+  test("brute-force cosine top-k: exact against in-test computation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().groupBy(_.getLong(0))
+
+    // oracle: plain Scala
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0 else dot / (na * nb)
+    }
+    for (q <- Seq(0L, 1L, 2L)) {
+      val want = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(all(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val gotIds = got(q).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(gotIds == want, s"query $q: $gotIds vs $want")
+    }
+  }
+
+  test("LSH top-k: candidates are a subset re-ranked exactly; recall sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.lshTopK(emb, queries, 3, dim, numPlanes = 16, bands = 8)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = (0L until 5L).map { q =>
+      val e = exact.getOrElse(q, Set.empty)
+      if (e.isEmpty) 1.0 else approx.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+    }.sum / 5
+    assert(recall >= 0.4, s"LSH recall $recall suspiciously low")
+  }
+
+  test("embedding near-dup pairs: planted duplicate found") {
+    val base = Seq.tabulate(8)(i => i.toFloat / 10)
+    val d = Seq(
+      (1L, base), (2L, base.updated(7, 0.701f)), (3L, Seq.tabulate(8)(i => (8 - i).toFloat))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(d, threshold = 0.999, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._2 == 3L))
+  }
+
+  // --- Text analysis -------------------------------------------------------
+
+  test("token counts: whitespace and BPE-ish") {
+    val d = Seq(Tuple1("Hello world, it's 2024!")).toDF("text")
+    val r = d.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe")).first()
+    assert(r.getInt(0) == 4)
+    // Hello| world|,| it|'s| 2024|! -> 7
+    assert(r.getInt(1) == 7, s"bpe=${r.getInt(1)}")
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val d = Seq(
+      ("the cat is in the house and it is warm", "en"),
+      ("der hund ist nicht mit der katze und das ist gut", "de"),
+      ("le chat est dans la maison et il est pour les chats", "fr"),
+      ("xyzzy qwerty plugh", "und")
+    ).toDF("text", "want")
+    val bad = d.withColumn("got", TextAnalysis.languageId(col("text")))
+      .filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString(","))
+  }
+
+  test("fingerprint: whitespace-insensitive, content-sensitive") {
+    val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "hello worle")).toDF("id", "text")
+    val fp = d.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("analyze runs over the real documents table") {
+    val out = TextAnalysis.analyze(docs).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    assert(out.filter(col("n_tokens_ws") <= 0).count() == 0)
+    val langs = out.select("lang_id").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  // --- Multimodal -------------------------------------------------------------
+
+  test("multimodal: stub decode plumbing — schema, determinism, balance") {
+    val media = Multimodal.synthetic(spark, 60)
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == 60)
+    val rows = feats.collect()
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.filter(_.kind == "image").forall(f => f.width > 0 && f.duration_ms == -1))
+    assert(rows.filter(_.kind == "audio").forall(f => f.width == -1 && f.duration_ms > 0))
+    assert(rows.filter(_.kind == "video").forall(f => f.width > 0 && f.duration_ms > 0))
+    // determinism across runs
+    val again = Multimodal.extractFeatures(Multimodal.synthetic(spark, 60)).collect()
+    assert(rows.sortBy(_.media_id).map(_.sha).toSeq == again.sortBy(_.media_id).map(_.sha).toSeq)
+    // frame plan only for videos, bounded
+    val plan = Multimodal.frameSamplePlan(feats.toDF())
+    assert(plan.groupBy("media_id").count().agg(max("count")).first().getLong(0) <= 16)
+  }
+}
