@@ -1,13 +1,454 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analytics._
+import graft.graph._
+import graft.ingest.Edge
+import graft.textops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data ops), with DuckDB-equivalent oracle
+  * SQL in `oracleSql` wherever the operator is SQL-expressible.
+  *
+  * Conventions shared with the oracles:
+  *  - double outputs rounded to 6 (or 4) decimals on BOTH sides;
+  *  - counts cast to BIGINT on both sides;
+  *  - every aggregate/computed column aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Co-order part graph: undirected edge (a < b) when two parts appear
+    * in the same order — the testdata stand-in for the citation edge
+    * derivation (reference J1, create_field/graph.py:28-33).
+    */
+  private def partEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Flagship: PageRank over the derived co-order part graph (sf0.001),
+    * top-10 by rank with stable tiebreak. Exercises ingest-style edge
+    * derivation + the iterative engine end-to-end.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val edges = partEdges(spark, "/root/testdata/sf0.001")
+      .select(col("a").as("src"), col("b").as("dst")).as[Edge]
+    val r = PageRank.run(edges, PageRankConfig(tol = 1e-6, maxIter = 60))
+    r.ranks.orderBy(desc("rank"), col("id")).limit(10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans, aggregations (S3, A1, A2) -------------------------------
+    "q_agg_pricing" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n")
+        )
+    }),
+    // --- 3-way join (J1/J2) ---------------------------------------------
+    "q_join3_nation" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("total"))
+    }),
+    // --- semi join (F2) ----------------------------------------------------
+    "q_semi_join" -> ((s, d) => {
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 100000).select(col("o_orderkey"))
+      t(s, d, "lineitem")
+        .join(big, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // --- anti join (F3) ----------------------------------------------------
+    "q_anti_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+    }),
+    // --- left join + fill (J3) ---------------------------------------------
+    "q_left_join_fill" -> ((s, d) => {
+      val cnt = t(s, d, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      t(s, d, "customer")
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("c"), lit(0L)).as("n_orders"))
+    }),
+    // --- tie-inclusive top-k (W1) -------------------------------------------
+    "q_topk_ties" -> ((s, d) => {
+      val spend = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 4).as("spend"))
+      TopK.withTies(spend, "spend", 10)
+    }),
+    // --- h-index (A8) ---------------------------------------------------------
+    "q_hindex" -> ((s, d) => {
+      val cites = t(s, d, "lineitem").groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      HIndex.perGroup(cites, "o_custkey", "c")
+    }),
+    // --- window running sum (W3) ------------------------------------------------
+    "q_window_cumsum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 4).as("running")
+      )
+    }),
+    // --- gap-filled year series (T1) ----------------------------------------------
+    "q_gap_fill" -> ((s, d) => {
+      val yrs = t(s, d, "orders")
+        .select(col("o_custkey").as("paperID"), year(col("o_orderdate")).as("year"))
+      TimeSeries.gapFilledSeries(yrs)
+        .select(col("paperID").as("o_custkey"), col("citeStartYear"),
+          posexplode(col("citationCountByYear")).as(Seq("pos", "cnt")))
+        .select(col("o_custkey"), (col("citeStartYear") + col("pos")).cast("long").as("year"),
+          col("cnt").cast("long").as("n_orders"))
+    }),
+    // --- distinct / dedup (A6) ----------------------------------------------------
+    "q_distinct_pairs" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()),
+    // --- union + dedup (U2/U3) -------------------------------------------------------
+    "q_union_nodes" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").cast("long").as("nationkey")))
+        .distinct()
+    }),
+    // --- histogram (A7) + date func (X8) ------------------------------------------------
+    "q_hist_year_priority" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // --- distribution stats (A9) ----------------------------------------------------------
+    "q_stats_disc" -> ((s, d) => {
+      val c = col("l_discount")
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        round(avg(when(c === 0.0, 1.0).otherwise(0.0)), 6).as("p_zero"),
+        round(avg(when(c >= 0.05, 1.0).otherwise(0.0)), 6).as("p_ge_half_decile"),
+        round(avg(c), 6).as("mean"),
+        round(var_pop(c), 6).as("variance"),
+        round(expr("percentile(l_discount, 0.5)"), 6).as("median")
+      )
+    }),
+    // --- common-neighbor metrics (A10) ------------------------------------------------------
+    "q_common_neighbors" -> ((s, d) => {
+      val adj = t(s, d, "lineitem").select(col("l_partkey").as("node"), col("l_orderkey").as("nbr"))
+      val keys = t(s, d, "part").filter(col("p_partkey") <= 40).select(col("p_partkey"))
+      val pairs = keys.select(col("p_partkey").as("a"))
+        .crossJoin(keys.select(col("p_partkey").as("b")))
+        .filter(col("a") < col("b"))
+      CommonNeighbors.metrics(adj, pairs)
+        .filter(col("raw") > 0)
+        .select(col("a"), col("b"), col("raw"),
+          round(col("cosine"), 6).as("cosine"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // --- triangle count ------------------------------------------------------------------------
+    "q_triangle_count" -> ((s, d) => {
+      import s.implicits._
+      val e = partEdges(s, d).select(col("a").as("src"), col("b").as("dst")).as[Edge]
+      TriangleCount.triangles(e).agg(count(lit(1)).as("n_triangles"))
+    }),
+    // --- connected components (exact SQL oracle via recursive closure) --------------------------
+    "q_cc_parts" -> ((s, d) => {
+      import s.implicits._
+      val e = partEdges(s, d).select(col("a").as("src"), col("b").as("dst")).as[Edge]
+      ConnectedComponents.run(e).components
+        .select(col("id").cast("long").as("id"), col("component").cast("long").as("component"))
+    }),
+    // --- PageRank (no SQL oracle: rows-only check; correctness gated in ScalaTest) ---------------
+    "q_pagerank_parts" -> ((s, d) => {
+      import s.implicits._
+      val e = partEdges(s, d).select(col("a").as("src"), col("b").as("dst")).as[Edge]
+      PageRank.run(e, PageRankConfig(tol = 1e-6, maxIter = 80)).ranks
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+    }),
+    // --- label propagation (rows-only) ------------------------------------------------------------
+    "q_lpa_parts" -> ((s, d) => {
+      import s.implicits._
+      val e = partEdges(s, d).select(col("a").as("src"), col("b").as("dst")).as[Edge]
+      LabelPropagation.run(e, maxIter = 10).labels
+    }),
+    // --- exact dedup ---------------------------------------------------------------------------------
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    // --- n-gram jaccard near-dup ------------------------------------------------------------------------
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // --- minhash LSH (rows-only; verified in ScalaTest) -----------------------------------------------------
+    "q_minhash_lsh" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      Dedup.minhashLshPairs(docs, n = 5, numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("a"), col("b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
+    // --- simhash signatures (rows-only; crc32 not available in DuckDB) ----------------------------------------
+    "q_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents").filter(col("doc_id") < 500))),
+    // --- token counting --------------------------------------------------------------------------------------------
+    "q_token_counts" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe")
+      )
+    }),
+    // --- language id -----------------------------------------------------------------------------------------------
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_id"))),
+    // --- substring filter (F4/F5-style predicate) ------------------------------------------------------------------------
+    "q_substr_filter" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(instr(lower(col("text")), "data") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // --- ANN: brute-force cosine top-k -------------------------------------------------------------------------------------
+    "q_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+    // --- levenshtein pair mining (X2) -------------------------------------------------------------------------------------------
+    "q_levenshtein_pairs" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"), col("p_name"))
+      p.select(col("p_partkey").as("a"), col("p_name").as("na"))
+        .crossJoin(p.select(col("p_partkey").as("b"), col("p_name").as("nb")))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), levenshtein(col("na"), col("nb")).cast("long").as("lev"))
+        .filter(col("lev") <= 12)
+    }),
+    // --- band (ratio-range) join (F6) ----------------------------------------------------------------------------------------------
+    "q_band_join" -> ((s, d) => {
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_acctbal"))
+      val cus = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      sup.join(cus,
+        col("c_acctbal") >= col("s_acctbal") * 0.995 &&
+        col("c_acctbal") <= col("s_acctbal") * 1.005 &&
+        col("s_acctbal") > 0)
+        .select(col("s_suppkey"), col("c_custkey"))
+    }),
+    // --- event-time bucketing ---------------------------------------------------------------------------------------------------------
+    "q_events_hourly" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+    }),
+    // --- first-row-per-group (W2/W5) ----------------------------------------------------------------------------------------------------
+    "q_first_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+          round(col("o_totalprice"), 4).as("first_total"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS n
+         FROM lineitem GROUP BY 1, 2""",
+    "q_join3_nation" ->
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "q_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)
+         GROUP BY 1""",
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "q_left_join_fill" ->
+      """SELECT c_custkey, CAST(coalesce(c, 0) AS BIGINT) AS n_orders
+         FROM customer LEFT JOIN
+         (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1) o
+         ON c_custkey = o_custkey""",
+    "q_topk_ties" ->
+      """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 4) AS spend
+                        FROM orders GROUP BY 1)
+         SELECT o_custkey, spend FROM
+         (SELECT o_custkey, spend, rank() OVER (ORDER BY spend DESC) AS r FROM spend)
+         WHERE r <= 10""",
+    "q_hindex" ->
+      """WITH cites AS (
+           SELECT o_custkey, count(*) AS c FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey, l_orderkey),
+         ranked AS (
+           SELECT o_custkey, c, row_number() OVER (PARTITION BY o_custkey ORDER BY c DESC) AS rn
+           FROM cites)
+         SELECT o_custkey, CAST(sum(CASE WHEN c >= rn THEN 1 ELSE 0 END) AS BIGINT) AS h_index
+         FROM ranked GROUP BY 1""",
+    "q_window_cumsum" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+         FROM orders""",
+    "q_gap_fill" ->
+      """WITH per AS (SELECT o_custkey, year(o_orderdate) AS y, count(*) AS c
+                      FROM orders GROUP BY 1, 2),
+         span AS (SELECT o_custkey, min(y) AS y0, max(y) AS y1 FROM per GROUP BY 1),
+         yrs AS (SELECT o_custkey, unnest(generate_series(y0, y1)) AS year FROM span)
+         SELECT yrs.o_custkey, CAST(yrs.year AS BIGINT) AS year,
+                CAST(coalesce(per.c, 0) AS BIGINT) AS n_orders
+         FROM yrs LEFT JOIN per ON per.o_custkey = yrs.o_custkey AND per.y = yrs.year""",
+    "q_distinct_pairs" ->
+      "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+    "q_union_nodes" ->
+      """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+         UNION SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier""",
+    "q_hist_year_priority" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY 1, 2""",
+    "q_stats_disc" ->
+      """SELECT count(*) AS n,
+         round(avg(CASE WHEN l_discount = 0.0 THEN 1.0 ELSE 0.0 END), 6) AS p_zero,
+         round(avg(CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END), 6) AS p_ge_half_decile,
+         round(avg(l_discount), 6) AS mean,
+         round(var_pop(l_discount), 6) AS variance,
+         round(CAST(median(l_discount) AS DOUBLE), 6) AS median
+         FROM lineitem""",
+    "q_common_neighbors" ->
+      """WITH adj AS (SELECT DISTINCT l_partkey AS node, l_orderkey AS nbr FROM lineitem),
+         deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+         keys AS (SELECT p_partkey FROM part WHERE p_partkey <= 40),
+         pairs AS (SELECT a.p_partkey AS a, b.p_partkey AS b
+                   FROM keys a, keys b WHERE a.p_partkey < b.p_partkey),
+         raw AS (SELECT p.a, p.b, count(*) AS raw
+                 FROM pairs p
+                 JOIN adj x ON x.node = p.a
+                 JOIN adj y ON y.node = p.b AND y.nbr = x.nbr
+                 GROUP BY 1, 2)
+         SELECT r.a, r.b, r.raw,
+                round(r.raw / sqrt(da.deg * db.deg), 6) AS cosine,
+                round(r.raw / (da.deg + db.deg - r.raw), 6) AS jaccard
+         FROM raw r JOIN deg da ON da.node = r.a JOIN deg db ON db.node = r.b
+         WHERE r.raw > 0""",
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+               FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)
+         SELECT count(*) AS n_triangles
+         FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""",
+    "q_cc_parts" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+               FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         bidir AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         reach(v, u) AS (
+           SELECT a, a FROM bidir
+           UNION
+           SELECT reach.v, bidir.b FROM reach JOIN bidir ON reach.u = bidir.a)
+         SELECT CAST(v AS BIGINT) AS id, CAST(min(u) AS BIGINT) AS component
+         FROM reach GROUP BY 1""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+    "q_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id AS id,
+                       regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+                       FROM documents WHERE doc_id < 100),
+         sh AS (SELECT DISTINCT id, substr(t, i, 3) AS shingle
+                FROM docs, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+                WHERE len(t) >= 3),
+         df AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
+         pruned AS (SELECT sh.id, sh.shingle FROM sh JOIN df USING (shingle)),
+         sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT x.id AS a, y.id AS b, count(*) AS raw
+                   FROM pruned x JOIN pruned y ON x.shingle = y.shingle AND x.id < y.id
+                   GROUP BY 1, 2)
+         SELECT a, b, round(raw / (sa.sz + sb.sz - raw), 6) AS jaccard
+         FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         WHERE raw / (sa.sz + sb.sz - raw) >= 0.3""",
+    "q_token_counts" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe
+         FROM documents""",
+    "q_lang_id" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+         scores AS (SELECT doc_id,
+           len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','that','it','was','for','with','are'))) AS h_en,
+           len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von'))) AS h_de,
+           len(list_filter(tk, x -> x IN ('le','la','les','et','est','pas','des','une','dans','que','pour','du'))) AS h_fr,
+           len(list_filter(tk, x -> x IN ('el','la','los','las','es','una','del','que','por','con','para','como'))) AS h_es
+           FROM toks)
+         SELECT doc_id, CASE
+           WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+           WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+           WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+           WHEN h_fr >= h_es THEN 'fr'
+           ELSE 'es' END AS lang_id
+         FROM scores""",
+    "q_substr_filter" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE position('data' IN lower(text)) > 0 GROUP BY 1""",
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 3),
+         emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+         scored AS (SELECT q.query_id, e.vec_id,
+             CASE WHEN list_dot_product(e.embedding, e.embedding) = 0
+                    OR list_dot_product(q.qe, q.qe) = 0 THEN 0.0
+                  ELSE list_dot_product(q.qe, e.embedding) /
+                       (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.embedding, e.embedding)))
+             END AS cosine
+             FROM q, emb e WHERE e.vec_id <> q.query_id)
+         SELECT query_id, vec_id, rank FROM
+         (SELECT query_id, vec_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+         WHERE rank <= 5""",
+    "q_levenshtein_pairs" ->
+      """SELECT a.p_partkey AS a, b.p_partkey AS b,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+         FROM part a, part b
+         WHERE a.p_partkey <= 100 AND b.p_partkey <= 100 AND a.p_partkey < b.p_partkey
+           AND levenshtein(a.p_name, b.p_name) <= 12""",
+    "q_band_join" ->
+      """SELECT s_suppkey, c_custkey FROM supplier JOIN customer
+         ON c_acctbal >= s_acctbal * 0.995 AND c_acctbal <= s_acctbal * 1.005
+         AND s_acctbal > 0""",
+    "q_events_hourly" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+         round(avg(value), 6) AS avg_value
+         FROM events GROUP BY 1, 2""",
+    "q_first_per_group" ->
+      """SELECT o_custkey, first_orderkey, first_total FROM
+         (SELECT o_custkey, o_orderkey AS first_orderkey,
+            round(o_totalprice, 4) AS first_total,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+         WHERE rn = 1"""
+  )
 }
