@@ -1,24 +1,79 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.Sessions
+import graft.ingest.{Corpus, Edge, EdgeExtraction}
+import graft.graph.{LocalOnly, PageRank, PageRankConfig}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+/** Per-round benchmark. Prints ONE JSON line:
+  *   metric/value/unit + per-query seconds over SPARK_GRAFT_SF_DIR, plus
+  *   the north-rule PageRank numbers: edges/sec per iteration to 1e-6
+  *   convergence on the corpus-derived edge table, measured at two
+  *   parallelism levels (local[N] vs local[4N] standing in for N vs 4N
+  *   executors) with scaling efficiency (T_N / T_4N) / 4.
+  *
+  * Full narrative + baseline comparison in BENCH/BASELINE.md.
+  */
 object Bench {
+
+  private implicit val edgeEnc: org.apache.spark.sql.Encoder[Edge] = Encoders.product[Edge]
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Fixed-iteration PageRank wall time (same work at every level). */
+  private def fixedIters(edges: Dataset[Edge], iters: Int): Double =
+    timed(PageRank.run(edges, PageRankConfig(tol = 0.0, maxIter = iters, checkpoint = LocalOnly())))._2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val edgesPath = "/tmp/graft_bench_edges"
+
+    // ---- session 1: query sweep + edge build + convergence + 4N probe ----
+    val sparkBig = Sessions.local(cpus, "graft-bench")
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, secs) = try timed(fn(sparkBig, sfDir).count()) catch { case _: Throwable => (0L, -1.0) }
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val totalQuerySecs = queryTimes.map(_._2).filter(_ >= 0).sum
+
+    val corpusN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "400000").toLong
+    val stamped = Corpus.stamped(Corpus.synthetic(sparkBig, corpusN, repos = 200, maxDegree = 12, seed = 42))
+    val (edgesCount, edgeBuildSecs) = timed {
+      EdgeExtraction.edges(stamped).write.mode("overwrite").parquet(edgesPath)
+      sparkBig.read.parquet(edgesPath).count()
+    }
+
+    val edgesBig = sparkBig.read.parquet(edgesPath).as[Edge]
+    val (convResult, convSecs) = timed {
+      PageRank.run(edgesBig, PageRankConfig(tol = 1e-6, maxIter = 200, checkpoint = LocalOnly()))
+    }
+    val m = convResult.edgeCount
+    val iters = convResult.iterations
+    val edgesPerSecPerIter = m.toDouble * iters / convSecs
+
+    val probeIters = 8
+    val coresSmall = math.max(1, cpus / 4)
+    val tLarge = fixedIters(edgesBig, probeIters)
+    sparkBig.stop()
+
+    // ---- session 2: N-thread probe on identical input --------------------
+    val sparkSmall = Sessions.local(coresSmall, "graft-bench-small")
+    val tSmall = fixedIters(sparkSmall.read.parquet(edgesPath).as[Edge], probeIters)
+    val efficiency = (tSmall / tLarge) / (cpus.toDouble / coresSmall)
+    sparkSmall.stop()
+
+    val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.1f".format(edgesPerSecPerIter)},"unit":"edges/sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""query_total_sec":${"%.2f".format(totalQuerySecs)},""" +
+      s""""pagerank":{"edges":$m,"vertices":${convResult.vertexCount},"iterations":$iters,"seconds":${"%.2f".format(convSecs)},"converged":${convResult.converged}},""" +
+      s""""edge_build":{"corpus_rows":$corpusN,"edges":$edgesCount,"seconds":${"%.2f".format(edgeBuildSecs)},"edges_per_sec":${"%.1f".format(edgesCount / edgeBuildSecs)}},""" +
+      s""""scaling":{"cores_small":$coresSmall,"cores_large":$cpus,"t_small_sec":${"%.2f".format(tSmall)},"t_large_sec":${"%.2f".format(tLarge)},"probe_iters":$probeIters,"efficiency":${"%.3f".format(efficiency)}}}"""
+    )
   }
 }

@@ -58,7 +58,8 @@ object ConnectedComponents {
     * appears in the edge set; `component` is the min vertex id of the
     * component. Isolated vertices (if supplied) map to themselves.
     */
-  def run(edges: Dataset[Edge], maxRounds: Int = 50): CcResult = {
+  def run(edges: Dataset[Edge], maxRounds: Int = 50): CcResult =
+    graft.core.IterationConf.withIterationConf(edges.sparkSession) {
     val spark = edges.sparkSession
     val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -92,6 +93,9 @@ object ConnectedComponents {
         .repartition(P, col("u"))
         .localCheckpoint(true)
       val sig = signature(next)
+      e.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
       e = next
       rounds += 1
       stable = sig == prevSig

@@ -27,7 +27,8 @@ object LabelPropagation {
 
   final case class LpaResult(labels: DataFrame, iterations: Int, converged: Boolean)
 
-  def run(edges: Dataset[Edge], maxIter: Int = 20): LpaResult = {
+  def run(edges: Dataset[Edge], maxIter: Int = 20): LpaResult =
+    graft.core.IterationConf.withIterationConf(edges.sparkSession) {
     val spark = edges.sparkSession
     val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
@@ -72,6 +73,9 @@ object LabelPropagation {
         .join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old"))
         .count()
+      labels.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
       labels = newLabels
       iter += 1
       converged = changed == 0

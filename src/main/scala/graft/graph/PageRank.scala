@@ -56,15 +56,23 @@ final case class PageRankResult(
   */
 object PageRank {
 
-  /** Cached, co-partitioned graph inputs shared across iterations. */
-  private final case class Prepared(e: DataFrame, vdeg: DataFrame, n: Long, m: Long, parts: Int)
+  /** Cached, co-partitioned graph inputs shared across iterations.
+    * `danglingCount` = #vertices with no out-edges (for the closed-form
+    * initial dangling mass).
+    */
+  private final case class Prepared(
+      e: DataFrame, vdeg: DataFrame, n: Long, m: Long, parts: Int, danglingCount: Long)
 
   private def prepare(edges: Dataset[Edge]): Prepared = {
     val spark = edges.sparkSession
     val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Cached PRE-SORTED on the join keys: InMemoryRelation preserves
+    // outputOrdering, so the per-iteration sort-merge joins skip their
+    // Sort on the big (edge) side every iteration.
     val e = edges.toDF
       .select(col("src"), col("dst"))
       .repartition(P, col("src"))
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e.count()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
@@ -73,9 +81,11 @@ object PageRank {
       .join(outdeg, Seq("id"), "left")
       .na.fill(0, Seq("outdeg"))
       .repartition(P, col("id"))
+      .sortWithinPartitions("id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vdeg.count()
-    Prepared(e, vdeg, n, m, P)
+    val danglingCount = vdeg.filter(col("outdeg") === 0).count()
+    Prepared(e, vdeg, n, m, P, danglingCount)
   }
 
   def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult = {
@@ -83,7 +93,7 @@ object PageRank {
     if (g.n == 0)
       return PageRankResult(edges.sparkSession.emptyDataFrame, 0, converged = true, Nil, 0L, 0L)
     val ranks0 = g.vdeg.select(col("id"), lit(1.0 / g.n).as("rank"))
-    iterate(g, ranks0, 0, cfg)
+    iterate(g, ranks0, 0, cfg, initialDangling = Some(g.danglingCount.toDouble / g.n))
   }
 
   /** Resume from the last committed superstep in runDir (or start fresh
@@ -113,58 +123,103 @@ object PageRank {
     }
   }
 
+  /** Iteration loop: exactly TWO jobs per iteration —
+    *  1. the eager localCheckpoint of the new rank state (contribution
+    *     join + single groupBy(dst) shuffle + finalize join, all
+    *     co-partitioned);
+    *  2. a combined scalar job computing the L1 delta AND the next
+    *     iteration's dangling mass in one co-partitioned join-aggregate.
+    * Dangling mass enters the update as a driver scalar (mathematically
+    * identical to conservation: Σ_{outdeg=0} rank = 1 − Σ contribs).
+    *
+    * Eager localCheckpoint truncates lineage EVERY iteration: the new
+    * state becomes a materialized LogicalRDD with no plan dependency on
+    * the previous iteration. (Chained persist/unpersist instead causes
+    * Spark's CacheManager to invalidate+rebuild dependent cache entries
+    * on every unpersist — measured exponential recompute.)
+    */
+  /** The RDD behind an eagerly localCheckpoint'ed Dataset (to free its
+    * blocks as soon as the next iteration no longer needs them — relying
+    * on GC-driven ContextCleaner instead causes storage churn spikes).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   private def iterate(
       g: Prepared,
       ranks0: DataFrame,
       startIter: Int,
-      cfg: PageRankConfig
-  ): PageRankResult = {
+      cfg: PageRankConfig,
+      initialDangling: Option[Double] = None
+  ): PageRankResult = graft.core.IterationConf.withIterationConf(g.e.sparkSession) {
     val spark = g.e.sparkSession
-    // Eager localCheckpoint truncates lineage EVERY iteration: the new
-    // state becomes a materialized LogicalRDD with no plan dependency on
-    // the previous iteration. (Chained persist/unpersist instead causes
-    // Spark's CacheManager to invalidate+rebuild dependent cache entries
-    // on every unpersist — measured exponential recompute.)
     var ranks = ranks0.repartition(g.parts, col("id")).localCheckpoint(true)
+
+    // Dangling mass of the current state: closed form for the uniform
+    // start; one co-partitioned scalar job otherwise (resume path).
+    var dangling = initialDangling.getOrElse {
+      ranks.join(g.vdeg, Seq("id"))
+        .agg(coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)))
+        .first().getDouble(0)
+    }
 
     var iter = startIter
     var converged = false
     var deltas = Vector.empty[Double]
 
     while (iter < cfg.maxIter && !converged) {
+      // shuffle_hash hints: both joins are co-partitioned, so the hint
+      // yields a zero-exchange hash join with the hash map built on the
+      // vertex-state side — avoiding the per-iteration SMJ sorts of the
+      // edge table (measured: sort spill/GC churn dominates otherwise).
       val contribs = g.e
-        .join(g.vdeg.join(ranks, Seq("id")), g.e("src") === g.vdeg("id"))
+        .join(g.vdeg.join(ranks.hint("shuffle_hash"), Seq("id")).hint("shuffle_hash"),
+          g.e("src") === g.vdeg("id"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("dst")
         .agg(sum("c").as("contrib"))
 
-      // Dangling mass by conservation: what didn't flow along edges.
-      val flowed = contribs.agg(coalesce(sum("contrib"), lit(0.0)).as("flowed"))
-
+      // Dangling mass enters as a 1-row broadcast, NOT a literal: the
+      // generated code is then byte-identical across iterations, so the
+      // codegen cache hits instead of recompiling every iteration.
+      val danglingDf = {
+        import spark.implicits._
+        Seq(dangling).toDF("danglingMass")
+      }
       val newRanks = g.vdeg
         .join(contribs, g.vdeg("id") === contribs("dst"), "left")
-        .crossJoin(broadcast(flowed))
+        .crossJoin(broadcast(danglingDf))
         .select(
           col("id"),
           (lit((1.0 - cfg.alpha) / g.n) +
             lit(cfg.alpha) * (coalesce(col("contrib"), lit(0.0)) +
-              (lit(1.0) - col("flowed")) / g.n)).as("rank")
+              col("danglingMass") / g.n)).as("rank")
         )
         .localCheckpoint(true)
 
-      val delta = newRanks
+      // One action: L1 delta + next-iteration dangling mass.
+      val row = newRanks
         .join(ranks.withColumnRenamed("rank", "old"), Seq("id"))
-        .agg(sum(abs(col("rank") - col("old"))))
+        .join(g.vdeg.select(col("id"), col("outdeg")), Seq("id"))
+        .agg(
+          sum(abs(col("rank") - col("old"))).as("delta"),
+          coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)).as("dangling")
+        )
         .first()
-        .getDouble(0)
+      val delta = row.getDouble(0)
+      dangling = row.getDouble(1)
       deltas :+= delta
 
+      checkpointRdd(ranks).foreach(_.unpersist(false))
       ranks = newRanks
       iter += 1
       converged = delta < cfg.tol
 
       cfg.checkpoint match {
         case Durable(runDir, every) if iter % every == 0 || converged =>
+          val beforeCommit = ranks
           ranks = Supersteps
             .commit(
               spark, runDir, iter, ranks,
@@ -172,11 +227,13 @@ object PageRank {
                 "l1_delta" -> delta,
                 "n_vertices" -> g.n.toDouble,
                 "n_edges" -> g.m.toDouble,
+                "dangling_mass" -> dangling,
                 "converged" -> (if (converged) 1.0 else 0.0)
               )
             )
             .repartition(g.parts, col("id"))
             .localCheckpoint(true)
+          checkpointRdd(beforeCommit).foreach(_.unpersist(false))
         case _ => ()
       }
     }

@@ -1,0 +1,53 @@
+package graft.graph
+
+import graft.SparkSpec
+import graft.ingest.Edge
+
+class CsrPageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toMap(r: PageRankResult): Map[Long, Double] =
+    r.ranks.collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+
+  test("CSR blocks: lossless round trip of the edge set") {
+    val edges = Oracles.randomGraph(100, 400, seed = 31)
+    val ds = edges.toDF("src", "dst").as[Edge]
+    val blocks = Adjacency.csrBlocks(ds, 4).collect()
+    val back = blocks.flatMap { b =>
+      b.srcIds.indices.flatMap(i =>
+        (b.offsets(i) until b.offsets(i + 1)).map(j => (b.srcIds(i), b.dsts(j))))
+    }.toSet
+    assert(back == edges.toSet)
+    blocks.foreach { b =>
+      assert(b.offsets.length == b.srcIds.length + 1)
+      assert(b.offsets.last == b.dsts.length)
+      assert(b.srcIds.forall(s => Adjacency.pid(s, 4) == b.partId))
+    }
+  }
+
+  test("block size cap splits partitions by edge count") {
+    val edges = (0L until 50L).flatMap(i => (0L until 20L).map(j => (i, 1000 + j)))
+    val ds = edges.toDF("src", "dst").as[Edge]
+    val blocks = Adjacency.csrBlocks(ds, 2, maxEdgesPerBlock = 100).collect()
+    assert(blocks.forall(_.dsts.length <= 120)) // cap + one src overshoot
+    assert(blocks.length > 2)
+  }
+
+  test("CSR PageRank == join PageRank to 1e-9 (random graph with hubs)") {
+    val edges = Oracles.randomGraph(500, 3000, seed = 37)
+    val ds = edges.toDF("src", "dst").as[Edge]
+    val a = toMap(PageRank.run(ds, PageRankConfig(tol = 1e-7)))
+    val b = toMap(CsrPageRank.run(ds, PageRankConfig(tol = 1e-7)))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-8, s"vertex $k: $v vs ${b(k)}") }
+  }
+
+  test("CSR PageRank matches the power-iteration oracle incl. dangling") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)) // 4 dangling
+    val ds = edges.toDF("src", "dst").as[Edge]
+    val got = toMap(CsrPageRank.run(ds, PageRankConfig(tol = 1e-8)))
+    val want = Oracles.pageRank(edges, tol = 1e-12, maxIter = 2000)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-6) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+}
