@@ -255,6 +255,19 @@ object SparkEntry {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
     }),
+    // --- ordered join + group-concat (J6) -----------------------------------------------------------------------------------------------
+    "q_group_concat" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("l_linenumber"), col("p_name")))),
+              x => x.getField("p_name")
+            ), ", ").as("part_names")
+        )
+    }),
     // --- first-row-per-group (W2/W5) ----------------------------------------------------------------------------------------------------
     "q_first_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -443,6 +456,9 @@ object SparkEntry {
       """SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
          round(avg(value), 6) AS avg_value
          FROM events GROUP BY 1, 2""",
+    "q_group_concat" ->
+      """SELECT l_orderkey, string_agg(p_name, ', ' ORDER BY l_linenumber) AS part_names
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
     "q_first_per_group" ->
       """SELECT o_custkey, first_orderkey, first_total FROM
          (SELECT o_custkey, o_orderkey AS first_orderkey,

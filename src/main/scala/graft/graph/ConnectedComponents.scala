@@ -108,6 +108,8 @@ object ConnectedComponents {
     val components = allVerts
       .join(mapping, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true) // self-contained result; release inputs below
+    allVerts.unpersist(false)
     CcResult(components, rounds)
   }
 

@@ -105,9 +105,11 @@ object CsrPageRank {
         dangling = row.getDouble(1)
         deltas :+= delta
 
-        state.queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }.foreach(_.unpersist(false))
+        // NOTE: do NOT unpersist the old state's checkpoint RDD here —
+        // each iteration references state twice (both cogroups), and
+        // unpersisting a locally-checkpointed RDD forces recompute
+        // through its retained lineage, which branches into exponential
+        // re-execution (measured). Old states are dereferenced and GC'd.
         state = newState
         iter += 1
         converged = delta < cfg.tol
@@ -125,7 +127,10 @@ object CsrPageRank {
           case _ => ()
         }
       }
-      PageRankResult(state.toDF.select(col("id"), col("rank")), iter, converged, deltas, m, n)
+      val result = state.toDF.select(col("id"), col("rank")).localCheckpoint(true)
+      blocks.unpersist(false)
+      verts.unpersist(false)
+      PageRankResult(result, iter, converged, deltas, m, n)
     }
   }
 }

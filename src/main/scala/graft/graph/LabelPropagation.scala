@@ -80,6 +80,9 @@ object LabelPropagation {
       iter += 1
       converged = changed == 0
     }
+    // labels is a self-contained checkpointed LogicalRDD: release inputs.
+    bidir.unpersist(false)
+    verts.unpersist(false)
     LpaResult(labels, iter, converged)
   }
 }

@@ -237,6 +237,10 @@ object PageRank {
         case _ => ()
       }
     }
+    // ranks is a self-contained checkpointed LogicalRDD: release the
+    // cached graph inputs so repeated runs in one JVM don't bloat storage.
+    g.e.unpersist(false)
+    g.vdeg.unpersist(false)
     PageRankResult(ranks, iter, converged, deltas, g.m, g.n)
   }
 }

@@ -44,7 +44,9 @@ object TriangleCount {
 
   /** All triangles as (x, y, z) vertex triples (each exactly once). */
   def triangles(edges: Dataset[Edge]): DataFrame = {
-    val o = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint instead of persist: materialized once, blocks
+    // released by GC when the result is dropped (no cache-entry leak)
+    val o = oriented(edges).localCheckpoint(true)
     val e1 = o.select(col("a"), col("b").as("x"))
     val e2 = o.select(col("a"), col("b").as("y"))
     // wedges at the low vertex; x ≺ y not known in (deg,id) order here, so

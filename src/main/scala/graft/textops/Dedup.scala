@@ -118,7 +118,7 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol).cache()
+    val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol).localCheckpoint(true)
     val banded = sigs.select(
       col("id"),
       posexplode(array((0 until bands).map(b =>
@@ -181,7 +181,7 @@ object Dedup {
   ): DataFrame = {
     val chunks = maxHamming + 1
     val chunkBits = math.max(1, bits / chunks)
-    val sig = simhash(docs, bits, idCol, textCol).cache()
+    val sig = simhash(docs, bits, idCol, textCol).localCheckpoint(true)
     val banded = sig.select(
       col("id"), col("simhash"),
       posexplode(array((0 until chunks).map(cI =>
