@@ -24,7 +24,7 @@ object CsrProbe {
       val n = verts.count()
       var state: Dataset[VState] = verts.map(v => VState(v.id, 1.0 / n, v.outdeg)).localCheckpoint(true)
       val blocksByPid = blocks.groupByKey(_.partId)
-      for (iter <- 1 to 6) {
+      for (iter <- 1 to 14) {
         val t0 = System.nanoTime()
         val msgs: Dataset[Msg] = blocksByPid
           .cogroup(state.groupByKey(v => pid(v.id, P))) { (_, bs, vs) =>
@@ -47,8 +47,8 @@ object CsrProbe {
             vs.map(v => VState(v.id, 0.15 / n + 0.85 * sums.getOrElse(v.id, 0.0), v.outdeg))
           }
           .localCheckpoint(true)
-        println(f"iter $iter planLen=${newState.queryExecution.analyzed.treeString.length} " +
-          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f")
+        val nodes = newState.queryExecution.analyzed.collect { case p => 1 }.sum
+        println(f"iter $iter nodes=$nodes wall=${(System.nanoTime() - t0) / 1e9}%.2f")
         state = newState
       }
     }

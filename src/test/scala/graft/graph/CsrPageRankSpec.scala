@@ -9,6 +9,11 @@ class CsrPageRankSpec extends SparkSpec {
   private def toMap(r: PageRankResult): Map[Long, Double] =
     r.ranks.collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
 
+  // Fixed-superstep configs: both engines run the SAME number of
+  // supersteps, so trajectories must agree to float noise — a stronger
+  // (and bounded-runtime) check than comparing at convergence.
+  private def fixed(k: Int) = PageRankConfig(tol = 0.0, maxIter = k)
+
   test("CSR blocks: lossless round trip of the edge set") {
     val edges = Oracles.randomGraph(100, 400, seed = 31)
     val ds = edges.toDF("src", "dst").as[Edge]
@@ -33,21 +38,21 @@ class CsrPageRankSpec extends SparkSpec {
     assert(blocks.length > 2)
   }
 
-  test("CSR PageRank == join PageRank to 1e-9 (random graph with hubs)") {
+  test("CSR PageRank trajectory == join PageRank (8 fixed supersteps, hubs)") {
     val edges = Oracles.randomGraph(500, 3000, seed = 37)
     val ds = edges.toDF("src", "dst").as[Edge]
-    val a = toMap(PageRank.run(ds, PageRankConfig(tol = 1e-7)))
-    val b = toMap(CsrPageRank.run(ds, PageRankConfig(tol = 1e-7)))
+    val a = toMap(PageRank.run(ds, fixed(8)))
+    val b = toMap(CsrPageRank.run(ds, fixed(8)))
     assert(a.keySet == b.keySet)
-    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-8, s"vertex $k: $v vs ${b(k)}") }
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12, s"vertex $k: $v vs ${b(k)}") }
   }
 
-  test("CSR PageRank matches the power-iteration oracle incl. dangling") {
+  test("CSR PageRank matches the power-iteration oracle incl. dangling (12 supersteps)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)) // 4 dangling
     val ds = edges.toDF("src", "dst").as[Edge]
-    val got = toMap(CsrPageRank.run(ds, PageRankConfig(tol = 1e-8)))
-    val want = Oracles.pageRank(edges, tol = 1e-12, maxIter = 2000)
-    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-6) }
+    val got = toMap(CsrPageRank.run(ds, fixed(12)))
+    val want = Oracles.pageRank(edges, tol = 0.0, maxIter = 12)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k: $v vs ${want(k)}") }
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 }
