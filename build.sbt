@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // NOTE: bigger is NOT better here — measured 5x slower PageRank loops
+  // at -Xmx48g vs -Xmx8g (G1 old-gen scanning of long-lived cached blocks
+  // dominates); 8g keeps the cached graph + per-task execution memory
+  // healthy at local[32] for the bench sizes used.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -173,14 +173,21 @@ object SparkEntry {
       ConnectedComponents.run(e).components
         .select(col("id").cast("long").as("id"), col("component").cast("long").as("component"))
     }),
-    // --- PageRank (no SQL oracle: rows-only check; correctness gated in ScalaTest) ---------------
+    // --- PageRank (oracle: 20 unrolled Jacobi iterations in SQL) ----------------------------------
     "q_pagerank_parts" -> ((s, d) => {
       import s.implicits._
       val e = partEdges(s, d).select(col("a").as("src"), col("b").as("dst")).as[Edge]
-      PageRank.run(e, PageRankConfig(tol = 1e-6, maxIter = 80)).ranks
-        .select(col("id"), round(col("rank"), 8).as("rank"))
+      PageRank.run(e, PageRankConfig(tol = 0.0, maxIter = 20)).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank"))
     }),
-    // --- label propagation (rows-only) ------------------------------------------------------------
+    // --- CSR-block PageRank (scale path; same oracle semantics) -----------------------------------
+    "q_pagerank_csr" -> ((s, d) => {
+      import s.implicits._
+      val e = partEdges(s, d).select(col("a").as("src"), col("b").as("dst")).as[Edge]
+      CsrPageRank.run(e, PageRankConfig(tol = 0.0, maxIter = 20)).ranks
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+    // --- label propagation (oracle: 10 unrolled sync votes in SQL) --------------------------------
     "q_lpa_parts" -> ((s, d) => {
       import s.implicits._
       val e = partEdges(s, d).select(col("a").as("src"), col("b").as("dst")).as[Edge]
@@ -276,10 +283,295 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
           round(col("o_totalprice"), 4).as("first_total"))
+    }),
+    // --- M1: doc -> 2-d embedding producer ---------------------------------------------------------------------------------------------
+    "q_embed" -> ((s, d) => {
+      Embedding.embedDocs(t(s, d, "documents").filter(col("doc_id") < 300))
+        .select(col("id").as("doc_id"),
+          round(element_at(col("embedding"), 1), 6).as("e0"),
+          round(element_at(col("embedding"), 2), 6).as("e1"))
+    }),
+    // --- all_features: SQL-expressible 11-feature block over a derived citation universe ----------------------------------------------
+    "q_link_features" -> ((s, d) => {
+      linkUniverse(s, d) match { case (edges, papers, authors, emb) =>
+        LinkFeatures.allFeatures(edges, papers, authors, emb, s.emptyDataFrame.select())
+          .select(
+            col("citingpaperID"), col("citedpaperID"), col("authorID"),
+            col("year_diff"), col("citing_paper_citationcount"), col("cited_paper_citationcount"),
+            col("self_cite"), round(col("similarity"), 6).as("similarity"),
+            col("raw_cocitation"), round(col("cosine_cocitation"), 6).as("cosine_cocitation"),
+            round(col("jaccard_cocitation"), 6).as("jaccard_cocitation"),
+            col("raw_bibcoupling"), round(col("cosine_bibcoupling"), 6).as("cosine_bibcoupling"),
+            round(col("jaccard_bibcoupling"), 6).as("jaccard_bibcoupling"))
+      }
+    }),
+    // --- M2: edge_proba — logistic scorer with -2 imputation over the same universe ---------------------------------------------------
+    "q_link_prob" -> ((s, d) => {
+      linkUniverse(s, d) match { case (edges, papers, authors, emb) =>
+        LinkProb.edgeProba(
+          LinkFeatures.allFeatures(edges, papers, authors, emb, s.emptyDataFrame.select()))
+          .select(col("citingpaperID"), col("citedpaperID"), col("authorID"),
+            round(col("proba"), 6).as("proba"))
+      }
     })
   )
 
+  /** Shared derived citation universe for the link-feature queries:
+    * orders are "papers" (paperID = o_orderkey, year = year(o_orderdate),
+    * citationCount = #lineitems); two orders sharing a part (l_partkey <=
+    * 30) form a citation from the LATER (greater key) to the EARLIER;
+    * each order has its customer as single author; embeddings are a
+    * deterministic 2-d function of the keys.
+    */
+  private def linkUniverse(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val li = t(s, d, "lineitem").filter(col("l_partkey") <= 30)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val orders = t(s, d, "orders")
+    val custOf = orders.select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.select(col("l_partkey").as("pk"), col("l_orderkey").as("x"))
+      .join(li.select(col("l_partkey").as("pk"), col("l_orderkey").as("y")), "pk")
+      .filter(col("x") > col("y"))
+      .select(col("x").as("citingpaperID"), col("y").as("citedpaperID"))
+      .distinct()
+      .join(custOf.withColumnRenamed("o_orderkey", "citingpaperID"), "citingpaperID")
+      .withColumnRenamed("o_custkey", "authorID")
+    val counts = t(s, d, "lineitem").groupBy(col("l_orderkey")).agg(count(lit(1)).as("citationCount"))
+    val papers = orders
+      .join(counts, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey").as("paperID"), year(col("o_orderdate")).cast("long").as("year"),
+        coalesce(col("citationCount"), lit(0L)).as("citationCount"))
+    val authors = orders.select(col("o_orderkey").as("paperID"), col("o_custkey").as("authorID"))
+    val emb = orders.select(col("o_orderkey").as("paperID"),
+      array((col("o_custkey") % 7).cast("double") + lit(1.0),
+        (col("o_orderkey") % 5).cast("double")).as("embedding"))
+    (edges, papers, authors, emb)
+  }
+
+  // ---------------------------------------------------------------------
+  // Programmatic oracle builders (unrolled iterations / wide hash blocks)
+  // ---------------------------------------------------------------------
+
+  /** 20 unrolled Jacobi PageRank iterations over the part graph —
+    * byte-for-byte the semantics of graph.PageRank (teleport 0.15/n,
+    * dangling mass redistributed uniformly, rank_0 = 1/n).
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val header =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+               FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         outd AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY 1),
+         vd AS MATERIALIZED (SELECT v AS id, coalesce(outdeg, 0) AS outdeg FROM verts LEFT JOIN outd ON v = outd.id),
+         nn AS MATERIALIZED (SELECT count(*) AS n FROM vd),
+         r0 AS MATERIALIZED (SELECT id, outdeg, 1.0 / (SELECT n FROM nn) AS rank FROM vd)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s""",
+         d$p AS MATERIALIZED (SELECT coalesce(sum(rank) FILTER (WHERE outdeg = 0), 0) AS dang FROM r$p),
+         r$i AS MATERIALIZED (
+           SELECT vd.id, vd.outdeg,
+                  (1.0 - 0.85) / (SELECT n FROM nn) +
+                  0.85 * (coalesce(c.contrib, 0) + (SELECT dang FROM d$p) / (SELECT n FROM nn)) AS rank
+           FROM vd LEFT JOIN (
+             SELECT e.dst AS id, sum(r.rank / r.outdeg) AS contrib
+             FROM r$p r JOIN e ON e.src = r.id WHERE r.outdeg > 0 GROUP BY 1) c
+           ON vd.id = c.id)"""
+    }.mkString
+    s"$header$steps\n SELECT CAST(id AS BIGINT) AS id, round(rank, 6) AS rank FROM r$iters"
+  }
+
+  /** `iters` unrolled synchronous label-propagation votes (count desc,
+    * label asc tie-break) — the semantics of graph.LabelPropagation.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val header =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+               FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         bidir AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM bidir)"""
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s""",
+         l$i AS MATERIALIZED (
+           SELECT u AS id, label FROM (
+             SELECT b.u, l.label,
+                    row_number() OVER (PARTITION BY b.u ORDER BY count(*) DESC, l.label ASC) AS rn
+             FROM bidir b JOIN l$p l ON b.v = l.id
+             GROUP BY b.u, l.label)
+           WHERE rn = 1)"""
+    }.mkString
+    s"$header$steps\n SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l$iters"
+  }
+
+  /** DuckDB equivalent of Dedup.md5Hash60(expr, seed). */
+  private def md5h60(expr: String, seed: Int): String =
+    s"CAST(concat('0x', substr(md5(concat('$seed:', $expr)), 1, 15)) AS BIGINT)"
+
+  /** MinHash+LSH oracle: recompute the 32 md5-based minhashes, band into
+    * 8 bands of 4, candidate pairs share a band tuple, verify estimated
+    * jaccard >= 0.5 — mirrors Dedup.minhashLshPairs(n=5, 32, 8, 0.5).
+    */
+  private def minhashOracle: String = {
+    val numHashes = 32
+    val bands = 8
+    val rows = numHashes / bands
+    val mins = (0 until numHashes).map(k => s"min(${md5h60("shingle", k)}) AS s$k").mkString(", ")
+    val bandJoin = (0 until bands).map { b =>
+      val eqs = (0 until rows).map(r => s"x.s${b * rows + r} = y.s${b * rows + r}").mkString(" AND ")
+      s"SELECT x.id AS a, y.id AS b FROM sigs x JOIN sigs y ON x.id < y.id AND $eqs"
+    }.mkString(" UNION ")
+    val est = (0 until numHashes).map(k => s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id AS id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+                      FROM documents WHERE doc_id < 200),
+        sh AS (SELECT DISTINCT id, substr(t, i, 5) AS shingle
+               FROM docs, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+               WHERE len(t) >= 5),
+        sigs AS (SELECT id, $mins FROM sh GROUP BY id),
+        cand AS ($bandJoin)
+        SELECT c.a, c.b, round(($est) / 32.0, 6) AS est_jaccard
+        FROM cand c JOIN sigs sa ON sa.id = c.a JOIN sigs sb ON sb.id = c.b
+        WHERE ($est) / 32.0 >= 0.5"""
+  }
+
+  /** SimHash oracle: md5-based token hash, weighted bit sums, sign -> bit
+    * — mirrors Dedup.simhash(bits = 32).
+    */
+  private def simhashOracle: String = {
+    val sums = (0 until 32).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN w ELSE -w END) AS s$b").mkString(", ")
+    val fold = (0 until 32).map(b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b}::BIGINT ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+          SELECT doc_id AS id, tok, count(*) AS w
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents WHERE doc_id < 500)
+          WHERE tok <> '' GROUP BY 1, 2),
+        h AS (SELECT id, ${md5h60("tok", 0)} AS h, w FROM toks),
+        bitsums AS (SELECT id, $sums FROM h GROUP BY id)
+        SELECT id, CAST($fold AS BIGINT) AS simhash FROM bitsums"""
+  }
+
+  /** Embedding oracle: same tokenization + md5-derived 2-d projection as
+    * textops.Embedding (dims = 2, seed = 7 -> per-dim seeds 917, 918).
+    */
+  private def embedOracle: String = {
+    val stop = graft.textops.Embedding.Stopwords.map(w => s"'$w'").mkString(", ")
+    def dim(j: Int) = {
+      val seed = 7 * 131 + j
+      s"round(coalesce(list_sum(list_transform(tk, t -> ${md5h60("t", seed)} / 1152921504606846976.0 * 2.0 - 1.0)), 0.0), 6)"
+    }
+    s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                 t -> len(t) > 0 AND t NOT IN ($stop)) AS tk
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id, ${dim(0)} AS e0, ${dim(1)} AS e1 FROM toks"""
+  }
+
+  /** Shared CTE block for the link-feature oracles — the SQL twin of
+    * `linkUniverse` + the CommonNeighbors metric conventions.
+    */
+  private def linkUniverseSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 30),
+       raw_e AS (SELECT DISTINCT x.l_orderkey AS citing, y.l_orderkey AS cited
+                 FROM li x JOIN li y ON x.l_partkey = y.l_partkey AND x.l_orderkey > y.l_orderkey),
+       edges AS (SELECT r.citing, r.cited, o.o_custkey AS authorID
+                 FROM raw_e r JOIN orders o ON o.o_orderkey = r.citing),
+       cnts AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+       papers AS (SELECT o_orderkey AS paperID, CAST(year(o_orderdate) AS BIGINT) AS year,
+                         CAST(coalesce(c, 0) AS BIGINT) AS citationCount
+                  FROM orders LEFT JOIN cnts ON o_orderkey = l_orderkey),
+       emb AS (SELECT o_orderkey AS paperID,
+                      CAST(o_custkey % 7 AS DOUBLE) + 1.0 AS ex, CAST(o_orderkey % 5 AS DOUBLE) AS ey
+               FROM orders),
+       pairs AS (SELECT DISTINCT citing AS a, cited AS b FROM raw_e),
+       adj_in AS (SELECT DISTINCT cited AS node, citing AS nbr FROM raw_e),
+       adj_out AS (SELECT DISTINCT citing AS node, cited AS nbr FROM raw_e),
+       deg_in AS (SELECT node, count(*) AS deg FROM adj_in GROUP BY 1),
+       deg_out AS (SELECT node, count(*) AS deg FROM adj_out GROUP BY 1),
+       raw_coc AS (SELECT p.a, p.b, count(*) AS raw FROM pairs p
+                   JOIN adj_in x ON x.node = p.a JOIN adj_in y ON y.node = p.b AND y.nbr = x.nbr
+                   GROUP BY 1, 2),
+       raw_bib AS (SELECT p.a, p.b, count(*) AS raw FROM pairs p
+                   JOIN adj_out x ON x.node = p.a JOIN adj_out y ON y.node = p.b AND y.nbr = x.nbr
+                   GROUP BY 1, 2),
+       coc AS (SELECT p.a, p.b, CAST(coalesce(r.raw, 0) AS BIGINT) AS raw_cocitation,
+                 CASE WHEN coalesce(da.deg, 0) <= 0 OR coalesce(db.deg, 0) <= 0 THEN 0.0
+                      ELSE coalesce(r.raw, 0) / sqrt(da.deg * db.deg) END AS cosine_cocitation,
+                 CASE WHEN coalesce(da.deg, 0) + coalesce(db.deg, 0) - coalesce(r.raw, 0) <= 0 THEN 0.0
+                      ELSE coalesce(r.raw, 0) / (coalesce(da.deg, 0) + coalesce(db.deg, 0) - coalesce(r.raw, 0)) END AS jaccard_cocitation
+               FROM pairs p LEFT JOIN raw_coc r ON r.a = p.a AND r.b = p.b
+               LEFT JOIN deg_in da ON da.node = p.a LEFT JOIN deg_in db ON db.node = p.b),
+       bib AS (SELECT p.a, p.b, CAST(coalesce(r.raw, 0) AS BIGINT) AS raw_bibcoupling,
+                 CASE WHEN coalesce(da.deg, 0) <= 0 OR coalesce(db.deg, 0) <= 0 THEN 0.0
+                      ELSE coalesce(r.raw, 0) / sqrt(da.deg * db.deg) END AS cosine_bibcoupling,
+                 CASE WHEN coalesce(da.deg, 0) + coalesce(db.deg, 0) - coalesce(r.raw, 0) <= 0 THEN 0.0
+                      ELSE coalesce(r.raw, 0) / (coalesce(da.deg, 0) + coalesce(db.deg, 0) - coalesce(r.raw, 0)) END AS jaccard_bibcoupling
+               FROM pairs p LEFT JOIN raw_bib r ON r.a = p.a AND r.b = p.b
+               LEFT JOIN deg_out da ON da.node = p.a LEFT JOIN deg_out db ON db.node = p.b),
+       feat AS (SELECT e.citing AS citingpaperID, e.cited AS citedpaperID, e.authorID,
+                 CASE WHEN pa.year >= pb.year THEN pa.year - pb.year ELSE NULL END AS year_diff,
+                 pa.citationCount AS citing_paper_citationcount,
+                 pb.citationCount AS cited_paper_citationcount,
+                 CASE WHEN aa.paperID IS NULL OR ab.paperID IS NULL THEN NULL
+                      WHEN aa.authorID = ab.authorID THEN 1 ELSE 0 END AS self_cite,
+                 CASE WHEN ea.paperID IS NULL OR eb.paperID IS NULL THEN NULL
+                      ELSE (ea.ex * eb.ex + ea.ey * eb.ey) /
+                           (sqrt(ea.ex * ea.ex + ea.ey * ea.ey) * sqrt(eb.ex * eb.ex + eb.ey * eb.ey)) END AS similarity,
+                 c.raw_cocitation, c.cosine_cocitation, c.jaccard_cocitation,
+                 b2.raw_bibcoupling, b2.cosine_bibcoupling, b2.jaccard_bibcoupling
+               FROM edges e
+               LEFT JOIN papers pa ON pa.paperID = e.citing
+               LEFT JOIN papers pb ON pb.paperID = e.cited
+               LEFT JOIN (SELECT o_orderkey AS paperID, o_custkey AS authorID FROM orders) aa ON aa.paperID = e.citing
+               LEFT JOIN (SELECT o_orderkey AS paperID, o_custkey AS authorID FROM orders) ab ON ab.paperID = e.cited
+               LEFT JOIN emb ea ON ea.paperID = e.citing
+               LEFT JOIN emb eb ON eb.paperID = e.cited
+               LEFT JOIN coc c ON c.a = e.citing AND c.b = e.cited
+               LEFT JOIN bib b2 ON b2.a = e.citing AND b2.b = e.cited)"""
+
+  private def linkFeaturesOracle: String =
+    s"""$linkUniverseSql
+        SELECT citingpaperID, citedpaperID, authorID,
+               CAST(year_diff AS BIGINT) AS year_diff,
+               citing_paper_citationcount, cited_paper_citationcount,
+               CAST(self_cite AS BIGINT) AS self_cite,
+               round(similarity, 6) AS similarity,
+               raw_cocitation, round(cosine_cocitation, 6) AS cosine_cocitation,
+               round(jaccard_cocitation, 6) AS jaccard_cocitation,
+               raw_bibcoupling, round(cosine_bibcoupling, 6) AS cosine_bibcoupling,
+               round(jaccard_bibcoupling, 6) AS jaccard_bibcoupling
+        FROM feat"""
+
+  private def linkProbOracle: String = {
+    val w = graft.analytics.LinkProb.DefaultWeights
+    def imp(c: String) = s"coalesce(CAST($c AS DOUBLE), -2.0)"
+    val z = s"(${graft.analytics.LinkProb.DefaultBias}" +
+      s" + ${w("cross_correlation")} * (-2.0)" + // correlation features are null in this universe
+      s" + ${w("window_cross_correlation")} * (-2.0)" +
+      s" + ${w("year_diff")} * ${imp("year_diff")}" +
+      s" + ${w("citing_paper_citationcount")} * ${imp("citing_paper_citationcount")}" +
+      s" + ${w("cited_paper_citationcount")} * ${imp("cited_paper_citationcount")}" +
+      s" + ${w("self_cite")} * ${imp("self_cite")}" +
+      s" + ${w("similarity")} * ${imp("similarity")}" +
+      s" + ${w("jaccard_cocitation")} * ${imp("jaccard_cocitation")}" +
+      s" + ${w("jaccard_bibcoupling")} * ${imp("jaccard_bibcoupling")})"
+    s"""$linkUniverseSql
+        SELECT citingpaperID, citedpaperID, authorID,
+               round(1.0 / (1.0 + exp(-$z)), 6) AS proba
+        FROM feat"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank_parts" -> pagerankOracle(20),
+    "q_pagerank_csr" -> pagerankOracle(20),
+    "q_lpa_parts" -> lpaOracle(10),
+    "q_minhash_lsh" -> minhashOracle,
+    "q_simhash" -> simhashOracle,
+    "q_embed" -> embedOracle,
+    "q_link_features" -> linkFeaturesOracle,
+    "q_link_prob" -> linkProbOracle,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,
@@ -457,7 +749,7 @@ object SparkEntry {
          round(avg(value), 6) AS avg_value
          FROM events GROUP BY 1, 2""",
     "q_group_concat" ->
-      """SELECT l_orderkey, string_agg(p_name, ', ' ORDER BY l_linenumber) AS part_names
+      """SELECT l_orderkey, string_agg(p_name, ', ' ORDER BY l_linenumber, p_name) AS part_names
          FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
     "q_first_per_group" ->
       """SELECT o_custkey, first_orderkey, first_total FROM

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import java.text.Normalizer
@@ -194,8 +194,13 @@ object NameMatch {
   // --- Spark pipeline ---------------------------------------------------
 
   private val compareNameUdf = udf((a: String, b: String) => compareName(a, b))
-  private val levNormUdf = udf((a: String, b: String) =>
-    levenshtein(a, b).toDouble / (a.length + b.length))
+
+  /** Normalized edit distance as a pure-Catalyst (codegen'd) expression —
+    * Spark's built-in `levenshtein` replaces the former Scala UDF.
+    */
+  private def levNormCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.levenshtein(a, b).cast("double") /
+      (length(a) + length(b)).cast("double")
 
   /** Candidate match pairs from an author table (id, name).
     * Returns (id1, id2, name1, name2, lev_dis, similarity) for pairs with
@@ -221,7 +226,7 @@ object NameMatch {
     a.join(b, "bucket")
       .filter(col("id1") < col("id2"))
       .filter(abs(col("len1") - col("len2")) / (col("len1") + col("len2")) <= 0.1)
-      .withColumn("lev_dis", levNormUdf(col("name1"), col("name2")))
+      .withColumn("lev_dis", levNormCol(col("name1"), col("name2")))
       .filter(col("lev_dis") <= maxLev)
       .withColumn("similarity", compareNameUdf(col("name1"), col("name2")))
       .filter(col("similarity") > minSim)

@@ -160,9 +160,12 @@ object TimeSeries {
     CorrelationFeatures(
       cross_correlation = crossCorrelation(cgStart, cgEnd, cdStart, cdEnd, cgCounts, cdCounts, slidingWindow = false),
       window_cross_correlation = crossCorrelation(cgStart, cgEnd, cdStart, cdEnd, cgCounts, cdCounts, slidingWindow = true),
-      negativetimelagged_cross_correlation = lagged(-MaxTimeLag, 0, sliding = false),
+      // Strictly negative lags: the reference iterates range(-maxTimeLag, 0)
+      // (extract_link_features.py:167), which EXCLUDES lag 0 — so the
+      // upper bound here is -1, not 0.
+      negativetimelagged_cross_correlation = lagged(-MaxTimeLag, -1, sliding = false),
       timelagged_cross_correlation = lagged(1, MaxTimeLag, sliding = false),
-      window_negativetimelagged_cross_correlation = lagged(-MaxTimeLag, 0, sliding = true),
+      window_negativetimelagged_cross_correlation = lagged(-MaxTimeLag, -1, sliding = true),
       window_timelagged_cross_correlation = lagged(1, MaxTimeLag, sliding = true)
     )
   }

@@ -36,7 +36,12 @@ object Adjacency {
   }
 
   /** Build CSR blocks from an edge Dataset. One shuffle (repartition by
-    * pid(src)); block construction is a per-partition array build.
+    * pid(src)), then a CATALYST sort-within-partitions (external, spills
+    * to disk) and a streaming single-pass block build off the sorted
+    * iterator — the task never buffers its whole partition, so memory is
+    * bounded by `maxEdgesPerBlock` regardless of partition size (the
+    * 10^12-edge requirement; an `it.toArray` here would be an executor
+    * OOM, not a slowdown).
     */
   def csrBlocks(
       edges: Dataset[Edge],
@@ -45,38 +50,37 @@ object Adjacency {
   ): Dataset[CsrBlock] = {
     val spark = edges.sparkSession
     implicit val enc = Encoders.product[CsrBlock]
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong)
     val P = numParts
-    edges
+    edges.toDF
+      .select(pmod(col("src"), lit(P.toLong)).cast("int").as("partId"), col("src"), col("dst"))
       // rows with equal pid(src) land in ONE Spark partition (a Spark
       // partition may hold several pids — Spark re-hashes the expression
       // — so blocks are cut per pid group below, not per partition)
-      .repartition(P, pmod(col("src"), lit(P.toLong)))
+      .repartition(P, col("partId"))
+      .sortWithinPartitions("partId", "src", "dst")
+      .as[(Int, Long, Long)]
       .mapPartitions { it =>
-        val buf = it.toArray
-        if (buf.isEmpty) Iterator.empty
-        else {
-          java.util.Arrays.sort(buf, Ordering.by((e: Edge) => (pid(e.src, P), e.src, e.dst)))
-          val blocks = scala.collection.mutable.ArrayBuffer.empty[CsrBlock]
-          var i = 0
-          while (i < buf.length) {
-            val part = pid(buf(i).src, P)
-            // one block of at most maxEdgesPerBlock edges within this pid,
-            // never splitting mid-src unless a single src exceeds the cap
+        new Iterator[CsrBlock] {
+          private val in = it.buffered
+          def hasNext: Boolean = in.hasNext
+          def next(): CsrBlock = {
+            val part = in.head._1
             val srcs = scala.collection.mutable.ArrayBuffer.empty[Long]
             val offs = scala.collection.mutable.ArrayBuffer[Int](0)
             val ds = scala.collection.mutable.ArrayBuffer.empty[Long]
-            while (i < buf.length && pid(buf(i).src, P) == part && ds.length < maxEdgesPerBlock) {
-              val s = buf(i).src
+            // one block of at most maxEdgesPerBlock edges within this pid,
+            // never splitting mid-src unless a single src exceeds the cap
+            while (in.hasNext && in.head._1 == part && ds.length < maxEdgesPerBlock) {
+              val s = in.head._2
               srcs += s
-              while (i < buf.length && buf(i).src == s) {
-                ds += buf(i).dst
-                i += 1
+              while (in.hasNext && in.head._1 == part && in.head._2 == s) {
+                ds += in.next()._3
               }
               offs += ds.length
             }
-            blocks += CsrBlock(part, srcs.toArray, offs.toArray, ds.toArray)
+            CsrBlock(part, srcs.toArray, offs.toArray, ds.toArray)
           }
-          blocks.iterator
         }
       }
   }

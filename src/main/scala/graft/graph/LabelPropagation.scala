@@ -54,11 +54,15 @@ object LabelPropagation {
         .join(labels, bidir("v") === labels("id"))
         .groupBy(col("u"), col("label"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("u")).orderBy(col("n").desc, col("label").asc)
+      // Per-vertex argmax as an aggregation (count desc, label asc): hub
+      // vertices get map-side partial combine instead of funneling all
+      // their (label, n) rows through one window-sort task. The ordering
+      // struct (n, -label) has no ties (labels are distinct per group),
+      // so max_by is deterministic.
       val picked = votes
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("u").as("id"), col("label").as("newLabel"))
+        .groupBy(col("u"))
+        .agg(max_by(col("label"), struct(col("n"), negate(col("label")))).as("newLabel"))
+        .select(col("u").as("id"), col("newLabel"))
 
       // Eager localCheckpoint per iteration: truncates lineage and avoids
       // the CacheManager invalidate-rebuild trap of persist/unpersist

@@ -30,7 +30,13 @@ final case class PageRankResult(
     converged: Boolean,
     deltas: Seq[Double],
     edgeCount: Long,
-    vertexCount: Long
+    vertexCount: Long,
+    // wall-clock split: one-time graph prepare (partition/sort/cache or
+    // CSR build) vs the superstep loop — the north metric (edges/sec per
+    // iteration) and its scaling gate are properties of the LOOP; prepare
+    // amortizes over the life of an iterative computation.
+    prepareSeconds: Double = 0.0,
+    loopSeconds: Double = 0.0
 )
 
 /** PageRank with teleport (1-alpha) and dangling-mass redistribution,
@@ -89,11 +95,14 @@ object PageRank {
   }
 
   def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult = {
+    val t0 = System.nanoTime()
     val g = prepare(edges)
+    val prepSecs = (System.nanoTime() - t0) / 1e9
     if (g.n == 0)
       return PageRankResult(edges.sparkSession.emptyDataFrame, 0, converged = true, Nil, 0L, 0L)
     val ranks0 = g.vdeg.select(col("id"), lit(1.0 / g.n).as("rank"))
     iterate(g, ranks0, 0, cfg, initialDangling = Some(g.danglingCount.toDouble / g.n))
+      .copy(prepareSeconds = prepSecs)
   }
 
   /** Resume from the last committed superstep in runDir (or start fresh
@@ -155,6 +164,7 @@ object PageRank {
       initialDangling: Option[Double] = None
   ): PageRankResult = graft.core.IterationConf.withIterationConf(g.e.sparkSession) {
     val spark = g.e.sparkSession
+    val loopT0 = System.nanoTime()
     var ranks = ranks0.repartition(g.parts, col("id")).localCheckpoint(true)
 
     // Dangling mass of the current state: closed form for the uniform
@@ -241,6 +251,7 @@ object PageRank {
     // cached graph inputs so repeated runs in one JVM don't bloat storage.
     g.e.unpersist(false)
     g.vdeg.unpersist(false)
-    PageRankResult(ranks, iter, converged, deltas, g.m, g.n)
+    PageRankResult(ranks, iter, converged, deltas, g.m, g.n,
+      loopSeconds = (System.nanoTime() - loopT0) / 1e9)
   }
 }

@@ -144,8 +144,9 @@ object Dedup {
   }
 
   /** SimHash signature (`bits` <= 32): tokenize on whitespace, hash each
-    * token with crc32, sum +/-1 per bit position weighted by token count,
-    * sign -> bit. Returns (id, simhash: long).
+    * token with md5Hash60 (SQL-reproducible — any engine with md5 can
+    * recompute the signature bit-for-bit), sum +/-1 per bit position
+    * weighted by token count, sign -> bit. Returns (id, simhash: long).
     */
   def simhash(docs: DataFrame, bits: Int = 32, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bits >= 1 && bits <= 32)
@@ -154,7 +155,7 @@ object Dedup {
       .filter(col("tok") =!= "")
       .groupBy(col("id"), col("tok"))
       .agg(count(lit(1)).as("w"))
-      .withColumn("h", crc32(col("tok").cast("binary")))
+      .withColumn("h", md5Hash60(col("tok"), 0))
     val bitSums = toks
       .groupBy(col("id"))
       .agg(array((0 until bits).map(b =>

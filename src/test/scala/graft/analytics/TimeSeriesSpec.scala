@@ -87,6 +87,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(f.window_cross_correlation.exists(c => math.abs(c - 1.0) < 1e-9))
   }
 
+  test("negative-lag features exclude lag 0 (reference range(-maxTimeLag, 0))") {
+    // Identical series: lag 0 correlates perfectly (1.0), every strictly
+    // negative lag correlates less. If the negative-lag loop wrongly
+    // included lag 0, the feature would return 1.0.
+    // aperiodic so no shifted alignment is collinear
+    val counts = Array(2, 9, 3, 7, 2, 8, 4, 9, 2, 6)
+    val a = Series(2000, 2009, counts.sum, counts)
+    val f = features(a, a)
+    assert(f.cross_correlation.exists(c => math.abs(c - 1.0) < 1e-9))
+    assert(f.negativetimelagged_cross_correlation.forall(c => math.abs(c - 1.0) > 1e-6),
+      s"negative-lag feature must not be the lag-0 value: ${f.negativetimelagged_cross_correlation}")
+    assert(f.window_negativetimelagged_cross_correlation.forall(c => math.abs(c - 1.0) > 1e-6))
+    // positive-lag loop (1..MaxTimeLag) likewise excludes lag 0
+    assert(f.timelagged_cross_correlation.forall(c => math.abs(c - 1.0) > 1e-6))
+  }
+
   // --- gap-filled series (T1, Spark) ------------------------------------------
 
   test("gapFilledSeries fills missing years with 0") {

@@ -47,9 +47,13 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("simhash: near-identical docs within hamming distance; unrelated far") {
+    // Near-dup pair shares a heavily-weighted base (repeated tokens give
+    // each bit-sum a wide margin, so one differing token flips few bits —
+    // hamming 2 with the md5-based token hash); doc 3 is unrelated (17).
+    val base = Array.fill(4)("alpha beta gamma delta epsilon zeta eta theta iota kappa").mkString(" ")
     val d = Seq(
-      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"),
+      (1L, s"$base lambda"),
+      (2L, s"$base mu"),
       (3L, "one two three four five six seven eight nine ten")
     ).toDF("doc_id", "text")
     val sig = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
