@@ -313,6 +313,123 @@ object SparkEntry {
           .select(col("citingpaperID"), col("citedpaperID"), col("authorID"),
             round(col("proba"), 6).as("proba"))
       }
+    }),
+    // --- X12: abstract prefix strip + dedup merge --------------------------------------------------------------------------------------
+    "q_abstract_merge" -> ((s, d) => {
+      val abs = t(s, d, "documents").select(
+        (col("doc_id") % 100).as("paperID"),
+        when(col("doc_id") % 3 === 0, concat(lit("Abstract "), col("text")))
+          .otherwise(col("text")).as("abstract"))
+      Abstracts.mergedPerPaper(abs)
+    }),
+    // --- venue fuzzy resolution (cascade: exact > contains > pattern rewrites) ---------------------------------------------------------
+    "q_venue_match" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val dim = p.select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val requests =
+        p.filter(col("p_partkey").isin(1, 3)).select(col("p_name").as("original"))
+          .union(p.filter(col("p_partkey").isin(8, 10))
+            .select(element_at(split(col("p_name"), " "), 2).as("original")))
+          .union(p.filter(col("p_partkey") === 9)
+            .select(regexp_replace(col("p_name"), " ", "/").as("original")))
+          .union(p.filter(col("p_partkey") === 2)
+            .select(regexp_replace(col("p_name"), " ", "_").as("original")))
+          .distinct()
+      VenueMatch.resolve(requests, dim)
+    }),
+    // --- X7: scholar name reformatting --------------------------------------------------------------------------------------------------
+    "q_scholar_names" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_partkey") <= 200)
+      val names = p.select(
+        when(col("p_partkey") % 4 === 0, col("p_name")) // no comma: unchanged
+          .otherwise(concat(
+            element_at(split(col("p_name"), " "), 2), lit(", "),
+            element_at(split(col("p_name"), " "), 1), lit(" "),
+            col("p_brand"))).as("name")).distinct()
+      ScholarNames.lookupKeys(names)
+    }),
+    // --- author-merge remap + stats recompute --------------------------------------------------------------------------------------------
+    "q_author_merge" -> ((s, d) => {
+      val pa = t(s, d, "orders").select(col("o_orderkey").as("paperID"), col("o_custkey").as("authorID"))
+      val papers = t(s, d, "lineitem").groupBy(col("l_orderkey").as("paperID"))
+        .agg(count(lit(1)).as("citationCount"))
+      val custs = t(s, d, "customer").select(col("c_custkey"))
+      val matches = custs.filter(col("c_custkey") % 10 === 7)
+        .select((col("c_custkey") - 4).as("id1"), col("c_custkey").as("id2"))
+      val (_, stats) = AuthorMerge(pa, papers, matches)
+      stats.select(col("authorID"), col("PaperCount"), col("CitationCount"), col("hIndex"))
+    }),
+    // --- M5: topic word merge + filter (rows-only: per-topic substring fold is not SQL-expressible) ------------------------------------
+    "q_topic_words" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select((col("doc_id") % 5).as("topicID"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("topicID"), col("word")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("topicID")).orderBy(col("n").desc, col("word"))
+      val tot = Window.partitionBy(col("topicID"))
+      val topics = toks
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prob", col("n") / sum(col("n")).over(tot))
+        .filter(col("rn") <= 20)
+        .groupBy(col("topicID"))
+        .agg(array_sort(collect_list(struct(col("rn"), col("word"), col("prob")))).as("ordered"))
+        .select(col("topicID"),
+          transform(col("ordered"), x => struct(x.getField("word").as("word"), x.getField("prob").as("prob"))).as("words"))
+      TopicWords.mergeAndFilter(topics)
+        .select(col("topicID"), explode(col("words")).as("wp"))
+        .select(col("topicID"), col("wp._1").as("word"), round(col("wp._2"), 6).as("prob"))
+    }),
+    // --- S3/U5: CSV sink + glob-concat source round-trip ---------------------------------------------------------------------------------
+    // Writes documents partitioned by lang as CSV (multiple files), reads
+    // them back through a glob path (the reference's per-author file
+    // concat, analysis/main.py:75), and aggregates — proving the CSV
+    // source/sink and glob union preserve the data.
+    "q_csv_roundtrip" -> ((s, d) => {
+      val out = s"/tmp/graft_csv_roundtrip_${new java.io.File(d).getName}"
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true").option("inferSchema", "false").csv(s"$out/lang=*/")
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+          count_distinct(col("doc_id")).as("n_docs"))
+    }),
+    // --- F5: regex predicate (rlike) ------------------------------------------------------------------------------------------------------
+    "q_regex_filter" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("text").rlike("(?i)\\bdata\\w*\\b"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }),
+    // --- X2: banded name-match candidate pairs (blocking + normalized lev prefilter) ------------------------------------------------------
+    "q_name_pairs" -> ((s, d) => {
+      val authors = t(s, d, "part").filter(col("p_partkey") <= 400)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      NameMatch.candidatePairs(authors, maxLev = 0.1)
+        .select(col("id1"), col("id2"), round(col("lev_dis"), 6).as("lev_dis"))
+    }),
+    // --- J7: union of two different-key joins ----------------------------------------------------------------------------------------------
+    "q_union_two_joins" -> ((s, d) => {
+      val nation = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val a = t(s, d, "supplier").join(nation, col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), lit("supplier").as("kind"))
+      val b = t(s, d, "customer").join(nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), lit("customer").as("kind"))
+      a.union(b).groupBy(col("n_name"), col("kind")).agg(count(lit(1)).as("n"))
+    }),
+    // --- per-author graph JSON export (rows-only: JSON string formatting is engine-specific) -------------------------------------------
+    "q_export_graph" -> ((s, d) => {
+      linkUniverse(s, d) match { case (edges, _, _, _) =>
+        val links = edges.select(
+          col("authorID"), col("citingpaperID").as("childrenID"),
+          col("citedpaperID").as("parentID"),
+          (col("citingpaperID") % 100 / 100.0).as("extendsProb"))
+        val papers = t(s, d, "orders").select(
+          col("o_custkey").as("authorID"), col("o_orderkey").as("paperID"),
+          (col("o_orderkey") % 2).cast("double").as("isKeyPaper"))
+        GraphExport.perAuthorJson(links, papers, minProb = 0.3)
+      }
     })
   )
 
@@ -563,7 +680,113 @@ object SparkEntry {
         FROM feat"""
   }
 
+  /** Venue-cascade oracle: stage table (0 exact, 1 contains, 2+k rewrite
+    * k) joined to the dim with the same case-insensitive predicates, min
+    * stage wins, unmatched keeps a null row — the SQL twin of
+    * VenueMatch.resolve over the q_venue_match request construction.
+    */
+  private def venueMatchOracle: String = {
+    val rewriteRows = graft.analytics.VenueMatch.Rewrites.zipWithIndex.map { case ((from, to), i) =>
+      s"""SELECT original, replace(original, '$from', '$to') AS variant, ${i + 2} AS stage
+          FROM req WHERE position('$from' IN original) > 0"""
+    }.mkString(" UNION ALL ")
+    s"""WITH p AS (SELECT p_partkey, p_name FROM part),
+        req AS (
+          SELECT p_name AS original FROM p WHERE p_partkey IN (1, 3)
+          UNION SELECT string_split(p_name, ' ')[2] FROM p WHERE p_partkey IN (8, 10)
+          UNION SELECT replace(p_name, ' ', '/') FROM p WHERE p_partkey = 9
+          UNION SELECT replace(p_name, ' ', '_') FROM p WHERE p_partkey = 2),
+        variants AS (
+          SELECT original, original AS variant, 0 AS stage FROM req
+          UNION ALL SELECT original, original, 1 FROM req
+          UNION ALL $rewriteRows),
+        matched AS (
+          SELECT v.original, v.stage, p.p_partkey AS id, p.p_name AS name
+          FROM variants v JOIN p ON
+            CASE WHEN v.stage = 0 THEN lower(p.p_name) = lower(v.variant)
+                 ELSE position(lower(v.variant) IN lower(p.p_name)) > 0 END),
+        winners AS (
+          SELECT DISTINCT original, id, name FROM (
+            SELECT original, stage, id, name, min(stage) OVER (PARTITION BY original) AS best
+            FROM matched) WHERE stage = best)
+        SELECT r.original, w.id, w.name FROM req r LEFT JOIN winners w ON w.original = r.original"""
+  }
+
+  /** Scholar-name oracle: the comma-reorder has exactly two given tokens
+    * by construction, so formatName unrolls to scalar string ops.
+    */
+  private def scholarNamesOracle: String =
+    """WITH names AS (
+         SELECT DISTINCT CASE WHEN p_partkey % 4 = 0 THEN p_name
+           ELSE concat(string_split(p_name, ' ')[2], ', ', string_split(p_name, ' ')[1], ' ', p_brand)
+         END AS name
+         FROM part WHERE p_partkey <= 200),
+       fmt AS (
+         SELECT name AS original,
+           CASE WHEN position(',' IN name) = 0 THEN name
+             ELSE concat(
+               CASE WHEN len(t1) = 1 THEN concat(t1, '. ') ELSE concat(t1, ' ') END,
+               substr(t2, 1, 1), '. ', last)
+           END AS formatted
+         FROM (SELECT name,
+                 string_split(name, ',')[1] AS last,
+                 string_split(trim(string_split(name, ',')[2]), ' ')[1] AS t1,
+                 string_split(trim(string_split(name, ',')[2]), ' ')[2] AS t2
+               FROM names)),
+       parts AS (SELECT original, formatted, string_split(trim(formatted), ' ') AS pp FROM fmt)
+       SELECT original, formatted,
+         CASE WHEN len(pp) = 2 THEN formatted
+              ELSE concat(pp[1], ' ', pp[len(pp)]) END AS no_middle,
+         concat(substr(pp[1], 1, 2), ' ', pp[len(pp)]) AS short2,
+         concat(substr(pp[1], 1, 3), ' ', pp[len(pp)]) AS short3
+       FROM parts"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_abstract_merge" ->
+      """WITH abs AS (SELECT doc_id % 100 AS paperID,
+           CASE WHEN doc_id % 3 = 0 THEN concat('Abstract ', text) ELSE text END AS abstract
+           FROM documents),
+         cleaned AS (SELECT paperID,
+           CASE WHEN substr(abstract, 1, 8) IN ('Abstract', 'ABSTRACT', 'abstract')
+                THEN trim(substr(abstract, 9)) ELSE abstract END AS abstract
+           FROM abs WHERE len(abstract) > 0)
+         SELECT paperID, string_agg(DISTINCT abstract, chr(10) ORDER BY abstract) AS abstract
+         FROM cleaned GROUP BY 1""",
+    "q_csv_roundtrip" ->
+      """SELECT count(*) AS n, sum(n_chars) AS total_chars,
+         count(DISTINCT doc_id) AS n_docs FROM documents""",
+    "q_regex_filter" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE regexp_matches(text, '(?i)\bdata\w*\b') GROUP BY 1""",
+    "q_name_pairs" ->
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+         round(CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) /
+               (len(a.p_name) + len(b.p_name)), 6) AS lev_dis
+         FROM part a, part b
+         WHERE a.p_partkey <= 400 AND b.p_partkey <= 400 AND a.p_partkey < b.p_partkey
+           AND abs(len(a.p_name) - len(b.p_name)) / CAST(len(a.p_name) + len(b.p_name) AS DOUBLE) <= 0.1
+           AND CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) / (len(a.p_name) + len(b.p_name)) <= 0.1""",
+    "q_union_two_joins" ->
+      """SELECT n_name, kind, count(*) AS n FROM (
+           SELECT n_name, 'supplier' AS kind FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           UNION ALL
+           SELECT n_name, 'customer' FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         GROUP BY 1, 2""",
+    "q_venue_match" -> venueMatchOracle,
+    "q_scholar_names" -> scholarNamesOracle,
+    "q_author_merge" ->
+      """WITH pa AS (
+           SELECT DISTINCT o_orderkey AS paperID,
+             CASE WHEN o_custkey % 10 = 7 THEN o_custkey - 4 ELSE o_custkey END AS authorID
+           FROM orders),
+         papers AS (SELECT l_orderkey AS paperID, count(*) AS c FROM lineitem GROUP BY 1),
+         wc AS (SELECT pa.authorID, coalesce(p.c, 0) AS c FROM pa LEFT JOIN papers p USING (paperID)),
+         ranked AS (SELECT authorID, c, row_number() OVER (PARTITION BY authorID ORDER BY c DESC) AS rn FROM wc)
+         SELECT authorID,
+           count(*) AS PaperCount,
+           CAST(sum(c) AS BIGINT) AS CitationCount,
+           CAST(sum(CASE WHEN c >= rn THEN 1 ELSE 0 END) AS BIGINT) AS hIndex
+         FROM ranked GROUP BY 1""",
     "q_pagerank_parts" -> pagerankOracle(20),
     "q_pagerank_csr" -> pagerankOracle(20),
     "q_lpa_parts" -> lpaOracle(10),

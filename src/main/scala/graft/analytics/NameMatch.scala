@@ -211,10 +211,14 @@ object NameMatch {
     * so any qualifying pair shares a bucket or an adjacent one — a banded
     * equi self-join instead of a cross join.
     */
-  def matchPairs(
+  /** Stages 1+2 only — the banded blocking join + normalized-edit-distance
+    * prefilter, without the token-similarity UDF. Result set is provably
+    * equal to a cross join with the same two filters (the log-bucket
+    * banding over-covers the length band), so it is SQL-oracle-checkable.
+    */
+  def candidatePairs(
       authors: DataFrame, // columns: id, name
-      maxLev: Double = 0.1,
-      minSim: Double = 0.96
+      maxLev: Double = 0.1
   ): DataFrame = {
     val base = math.log(11.0 / 9.0)
     val withBucket = authors
@@ -228,6 +232,15 @@ object NameMatch {
       .filter(abs(col("len1") - col("len2")) / (col("len1") + col("len2")) <= 0.1)
       .withColumn("lev_dis", levNormCol(col("name1"), col("name2")))
       .filter(col("lev_dis") <= maxLev)
+      .select("id1", "id2", "name1", "name2", "lev_dis")
+  }
+
+  def matchPairs(
+      authors: DataFrame, // columns: id, name
+      maxLev: Double = 0.1,
+      minSim: Double = 0.96
+  ): DataFrame = {
+    candidatePairs(authors, maxLev)
       .withColumn("similarity", compareNameUdf(col("name1"), col("name2")))
       .filter(col("similarity") > minSim)
       .select("id1", "id2", "name1", "name2", "lev_dis", "similarity")

@@ -15,10 +15,21 @@ object Sessions {
     * are sized to ~2-3x total executor cores and AQE coalesces from there.
     */
   def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+    // Shuffle/spill dir override. In local mode every shuffle byte funnels
+    // through ONE device; a cluster spreads shuffle over per-executor
+    // disks. Pointing local.dir at tmpfs (e.g. /dev/shm/...) removes the
+    // single-device artifact when measuring CPU scaling.
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .orElse(sys.props.get("spark.graft.local.dir"))
+      .foreach { dir =>
+        new java.io.File(dir).mkdirs()
+        builder.config("spark.local.dir", dir)
+      }
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -18,6 +18,12 @@ import org.apache.spark.storage.StorageLevel
   * plain min propagation — a 10^12-edge web-ish graph has long chains).
   * Each round is two groupBy shuffles; hub-vertex skew in the neighborhood
   * grouping is absorbed by map-side partial aggregation of `min`.
+  *
+  * Durable mode: each round's edge frontier is a committed superstep
+  * (Supersteps.commit — parquet + per-partition lineage + atomic marker);
+  * `resume` restarts from the last committed frontier and produces the
+  * same fixpoint as an uninterrupted run (the frontier IS the complete
+  * iteration state; the round signature is recomputed from it).
   */
 object ConnectedComponents {
 
@@ -58,7 +64,37 @@ object ConnectedComponents {
     * appears in the edge set; `component` is the min vertex id of the
     * component. Isolated vertices (if supplied) map to themselves.
     */
-  def run(edges: Dataset[Edge], maxRounds: Int = 50): CcResult =
+  def run(edges: Dataset[Edge], maxRounds: Int = 50,
+          checkpoint: CheckpointPolicy = LocalOnly()): CcResult = {
+    val spark = edges.sparkSession
+    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e0 = edges.toDF
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(P, col("u"))
+      .localCheckpoint(true)
+    iterate(edges, e0, 0, maxRounds, checkpoint)
+  }
+
+  /** Resume from the last committed round in runDir (fresh run if none).
+    * Result is identical to an uninterrupted run: the committed frontier
+    * is the complete iteration state.
+    */
+  def resume(edges: Dataset[Edge], runDir: String, maxRounds: Int = 50): CcResult = {
+    val spark = edges.sparkSession
+    Supersteps.lastCommitted(spark, runDir) match {
+      case None => run(edges, maxRounds, Durable(runDir))
+      case Some(step) =>
+        val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val e = Supersteps.readState(spark, runDir, step)
+          .repartition(P, col("u")).localCheckpoint(true)
+        iterate(edges, e, step, maxRounds, Durable(runDir))
+    }
+  }
+
+  private def iterate(edges: Dataset[Edge], e0: DataFrame, round0: Int,
+                      maxRounds: Int, checkpoint: CheckpointPolicy): CcResult =
     graft.core.IterationConf.withIterationConf(edges.sparkSession) {
     val spark = edges.sparkSession
     val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -70,18 +106,11 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     allVerts.count()
 
-    // canonical undirected simple edges, self-loops dropped
     // Eager localCheckpoint per round: truncates lineage and avoids the
     // CacheManager invalidate-rebuild trap of persist/unpersist chains
     // (see PageRank.iterate).
-    var e = edges.toDF
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .repartition(P, col("u"))
-      .localCheckpoint(true)
-
-    var rounds = 0
+    var e = e0
+    var rounds = round0
     var stable = false
     var prevSig: (Long, Long) = signature(e)
 
@@ -89,17 +118,27 @@ object ConnectedComponents {
       val bidirL = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val afterLarge = largeStar(bidirL)
       val bidirS = afterLarge.union(afterLarge.select(col("v").as("u"), col("u").as("v")))
-      val next = smallStar(bidirS)
+      var next = smallStar(bidirS)
         .repartition(P, col("u"))
         .localCheckpoint(true)
       val sig = signature(next)
-      e.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(false))
-      e = next
       rounds += 1
       stable = sig == prevSig
       prevSig = sig
+
+      checkpoint match {
+        case Durable(runDir, every) if rounds % every == 0 || stable =>
+          val before = next
+          next = Supersteps.commit(spark, runDir, rounds, next,
+            Map("round" -> rounds.toDouble, "frontier_edges" -> sig._1.toDouble,
+              "stable" -> (if (stable) 1.0 else 0.0)))
+            .repartition(P, col("u"))
+            .localCheckpoint(true)
+          releaseCheckpoint(before)
+        case _ => ()
+      }
+      releaseCheckpoint(e)
+      e = next
     }
 
     // At fixpoint the edge set is a star forest: every non-root points at
@@ -112,6 +151,11 @@ object ConnectedComponents {
     allVerts.unpersist(false)
     CcResult(components, rounds)
   }
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   private def signature(e: DataFrame): (Long, Long) = {
     // bit_xor: order-insensitive, overflow-free (edge set is distinct).

@@ -2,60 +2,89 @@ package graft.graph
 
 import graft.core.IterationConf
 import graft.ingest.Edge
-import org.apache.spark.HashPartitioner
+import org.apache.spark.{HashPartitioner, Partitioner}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** PageRank over per-partition CSR blocks — the engine's scale path
-  * (north rule: adjacency as CSR blocks in typed Datasets).
+/** PageRank over grid-partitioned, index-resolved CSR blocks — the
+  * engine's scale path (north rule: adjacency as CSR blocks in typed
+  * Datasets; public precedent for the 2D layout: GraphX EdgePartition2D /
+  * PowerGraph vertex-cut, both published designs).
   *
-  * The CSR blocks are BUILT and STORED as a typed `Dataset[CsrBlock]`
-  * (Adjacency.csrBlocks); the iteration loop pins them once to a
-  * `HashPartitioner(P)` keyed by `partId` and never moves them again.
-  * This is the one place the engine drops to the RDD layer, and it is
-  * forced: a Dataset `groupByKey(_.partId).cogroup` re-shuffles the
-  * static block side EVERY superstep because the lambda key is opaque to
-  * Catalyst (measured 6x slower than the join path in round 1), while a
-  * partitioner-pinned zipPartitions provably moves zero block bytes.
+  * Physical design, built once in prepare and never reshuffled:
   *
-  * Vertex state is likewise blocked: ONE `VBlock` per partition holding
-  * sorted primitive arrays (ids, outdeg, ranks). Only the rank array is
-  * re-allocated per iteration — ids/outdeg are shared by reference across
-  * iterations — and all hot loops are primitive two-pointer merge scans
-  * (block srcIds and state ids are both sorted) plus one open-addressing
-  * long->double map for message accumulation. No per-vertex objects, no
-  * boxing (measured ~4x faster per iteration than the boxed-HashMap
-  * cogroup design at 16.5M edges).
+  *  - Vertex state: ONE `VBlock` per partition (pid = id mod P) holding
+  *    parallel primitive arrays (ids sorted, outdeg, ranks). Only the
+  *    rank array is re-allocated per iteration; ids/outdeg are shared by
+  *    reference across iterations.
+  *  - Adjacency: `IdxBlock`s keyed by (source partition, DESTINATION
+  *    partition) — a grid cell of the adjacency matrix — with BOTH
+  *    endpoints pre-resolved to dense per-partition indexes (srcIdx,
+  *    nbrIdx). Blocks are sorted by dpid within each source partition
+  *    and capped at maxEdgesPerBlock (streaming build off an external
+  *    sort — bounded task memory at any scale).
   *
-  * Per iteration — ONE job, ONE shuffle:
-  *  1. zipPartitions(blocks, state): merge-scan src ranks, locally combine
-  *     contributions per destination, emit ONE primitive-array message
-  *     bundle per destination partition — the shuffle moves at most
-  *     P bundles of (distinct dsts touched) entries, never per-edge
-  *     records. A 10^6-in-degree hub receives <= P pre-combined messages
-  *     (the explicit two-phase aggregation / hub-skew plan, SURVEY.md §7.5).
-  *  2. partitionBy(P) on the bundle's dpid — the only shuffle.
-  *  3. zipPartitions(state, bundles): sum per vertex, apply teleport +
-  *     dangling mass, emit the new state; the SAME pass accumulates the
-  *     L1 delta and next-iteration dangling mass into accumulators, so no
-  *     separate scalar job runs. (Accumulator caveat: a re-run task would
-  *     double-count — that can only perturb the convergence *test*, never
-  *     the rank values; Durable mode re-derives metrics at commit.)
+  * The iteration hot loop is therefore hash-free and allocation-light:
+  *
+  *  1. zipPartitions(blocks, state): for each destination partition's
+  *     contiguous block run, accumulate `ranks[srcIdx]/outdeg[srcIdx]`
+  *     into ONE reused dense double array indexed by nbrIdx, then emit
+  *     the nonzero (idx, sum) pairs as a primitive bundle. The shuffle
+  *     moves at most P bundles per source partition — pre-combined
+  *     messages, never per-edge records; a 10^6-in-degree hub receives
+  *     <= P messages (two-phase aggregation, SURVEY.md §7.5). (An
+  *     open-addressing-map variant of this combine measured ~4 GB of
+  *     map churn per iteration at 132M edges — the dense grid layout
+  *     exists to make the combine zero-allocation.)
+  *  2. partitionBy(P) on the bundle's dpid — the only shuffle, ~12 bytes
+  *     per combined entry (int idx + double sum).
+  *  3. zipPartitions(state, bundles): dense-add bundles into a contribs
+  *     array, apply teleport + dangling mass, emit the new state; the
+  *     SAME pass accumulates the L1 delta and next dangling mass into
+  *     accumulators — ONE job, ONE shuffle per iteration total.
+  *     (Accumulator caveat: a re-run task double-counts — that can only
+  *     perturb the convergence *test*, never the rank values.)
+  *
+  * RDD usage is forced here: a Dataset `groupByKey(_.partId).cogroup`
+  * re-shuffles the static block side EVERY superstep because the lambda
+  * key is opaque to Catalyst (measured 6x slower than the join path in
+  * round 1), while a partitioner-pinned zipPartitions provably moves
+  * zero block bytes.
   *
   * Semantics identical to graft.graph.PageRank (tested to 1e-9); use this
   * variant when the edge set is large relative to vertices or hub-skewed.
   */
 object CsrPageRank {
 
-  import Adjacency.{CsrBlock, pid}
+  import Adjacency.pid
 
   /** One partition's vertex state: parallel arrays sorted by id. */
   final case class VBlock(pid: Int, ids: Array[Long], outdeg: Array[Int], ranks: Array[Double])
 
+  /** Grid cell (spid, dpid) of the adjacency: srcIdx/nbrIdx are dense
+    * indexes into the source/destination partitions' VBlock arrays.
+    */
+  final case class IdxBlock(
+      spid: Int,
+      dpid: Int,
+      srcIdx: Array[Int],   // ascending within the block
+      offsets: Array[Int],  // length = srcIdx.length + 1
+      nbrIdx: Array[Int])
+
   /** Pre-combined messages for one destination partition. */
-  final case class MsgBlock(dpid: Int, dsts: Array[Long], sums: Array[Double])
+  final case class MsgBlock(dpid: Int, idx: Array[Int], sums: Array[Double])
+
+  private final class PidPartitioner(p: Int) extends Partitioner {
+    def numPartitions: Int = p
+    def getPartition(key: Any): Int = key.asInstanceOf[(Int, Int, Int, Int)]._1
+    override def equals(o: Any): Boolean = o match {
+      case x: PidPartitioner => x.numPartitions == p
+      case _ => false
+    }
+    override def hashCode: Int = p
+  }
 
   def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult = {
     val spark = edges.sparkSession
@@ -65,17 +94,8 @@ object CsrPageRank {
 
     IterationConf.withIterationConf(spark) {
       val prepT0 = System.nanoTime()
-      val blocksDs = Adjacency.csrBlocks(edges, P)
-      // Pin blocks: partition i holds exactly the blocks with partId == i.
-      val blocks: RDD[CsrBlock] = blocksDs.rdd
-        .map(b => (b.partId, b))
-        .partitionBy(part)
-        .map(_._2)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val m = blocks.map(_.dsts.length.toLong).fold(0L)(_ + _)
 
-      // Vertex state: one VBlock per partition, ids sorted (in-task sort of
-      // n/P ids — bounded by the vertex-partition size, not the edge count).
+      // --- vertex state: one VBlock per partition, ids sorted ------------
       var state: RDD[VBlock] = Adjacency.vertices(edges).rdd
         .map(v => (pid(v.id, P), v))
         .partitionBy(part)
@@ -93,9 +113,70 @@ object CsrPageRank {
       val n = counts._1
       val danglingCount = counts._2
       if (n == 0) {
-        blocks.unpersist(false)
         return PageRankResult(spark.emptyDataFrame, 0, converged = true, Nil, 0L, 0L)
       }
+      // per-partition vertex counts — tiny (P ints), captured by closures
+      val partSizes = {
+        val arr = new Array[Int](P)
+        state.map(b => (b.pid, b.ids.length)).collect().foreach { case (p, s) => arr(p) = s }
+        arr
+      }
+      val maxPartSize = partSizes.max
+
+      // --- adjacency grid: dst resolved by a pinned zipPartitions, src
+      // resolved during the block build (both ends end up as dense ints) -
+      val byDst: RDD[(Int, (Long, Int))] = edges.rdd // (pid(dst), (src, dst))
+        .map(e => (pid(e.dst, P), (e.src, 0L, e.dst)))
+        .partitionBy(part)
+        .zipPartitions(state, preservesPartitioning = true) { (es, vs) =>
+          vs.toSeq.headOption match {
+            case None => Iterator.empty
+            case Some(vb) =>
+              es.map { case (dp, (src, _, dst)) =>
+                (dp, (src, java.util.Arrays.binarySearch(vb.ids, dst)))
+              }
+          }
+        }
+      // key (spid, dpid, src-as-int-pair) sorted externally; partitioned by spid
+      val sortedCells = byDst
+        .map { case (dp, (src, didx)) =>
+          ((pid(src, P), dp, (src >>> 32).toInt, src.toInt), didx)
+        }
+        .repartitionAndSortWithinPartitions(new PidPartitioner(P))
+        .map { case ((sp, dp, hi, lo), didx) => (sp, dp, (hi.toLong << 32) | (lo.toLong & 0xffffffffL), didx) }
+      val blocks: RDD[IdxBlock] = sortedCells
+        .zipPartitions(state, preservesPartitioning = true) { (cells, vs) =>
+          vs.toSeq.headOption match {
+            case None => Iterator.empty
+            case Some(vb) =>
+              val maxEdgesPerBlock = 4 << 20
+              val in = cells.buffered
+              new Iterator[IdxBlock] {
+                def hasNext: Boolean = in.hasNext
+                def next(): IdxBlock = {
+                  val sp = in.head._1
+                  val dp = in.head._2
+                  val sidx = scala.collection.mutable.ArrayBuffer.empty[Int]
+                  val offs = scala.collection.mutable.ArrayBuffer[Int](0)
+                  val nis = scala.collection.mutable.ArrayBuffer.empty[Int]
+                  while (in.hasNext && in.head._2 == dp && nis.length < maxEdgesPerBlock) {
+                    val s = in.head._3
+                    // src's own dense index via binary search in this
+                    // partition's sorted ids (prepare-only cost)
+                    sidx += java.util.Arrays.binarySearch(vb.ids, s)
+                    while (in.hasNext && in.head._2 == dp && in.head._3 == s) {
+                      nis += in.next()._4
+                    }
+                    offs += nis.length
+                  }
+                  IdxBlock(sp, dp, sidx.toArray, offs.toArray, nis.toArray)
+                }
+              }
+          }
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = blocks.map(_.nbrIdx.length.toLong).fold(0L)(_ + _)
+
       val r0 = 1.0 / n
       state = materialize(state.mapPartitions(
         _.map(b => b.copy(ranks = Array.fill(b.ids.length)(r0))), preservesPartitioning = true))
@@ -112,42 +193,50 @@ object CsrPageRank {
       while (iter < cfg.maxIter && !converged) {
         val d = dangling // stable capture
         val nn = n
+        val sizes = partSizes
+        val maxSz = maxPartSize
         val msgs: RDD[(Int, MsgBlock)] = blocks
           .zipPartitions(state, preservesPartitioning = false) { (bs, vs) =>
             vs.toSeq.headOption match {
               case None => Iterator.empty
               case Some(vb) =>
-                val acc = new LongDoubleMap(1 << 12)
+                // one reused dense accumulator; blocks arrive sorted by dpid
+                val contribs = new Array[Double](maxSz)
+                val out = scala.collection.mutable.ArrayBuffer.empty[(Int, MsgBlock)]
+                var curDp = -1
+                def flush(): Unit = if (curDp >= 0) {
+                  val nq = sizes(curDp)
+                  var nz = 0
+                  var i = 0
+                  while (i < nq) { if (contribs(i) != 0.0) nz += 1; i += 1 }
+                  if (nz > 0) {
+                    val idx = new Array[Int](nz)
+                    val sums = new Array[Double](nz)
+                    var w = 0; i = 0
+                    while (i < nq) {
+                      if (contribs(i) != 0.0) { idx(w) = i; sums(w) = contribs(i); w += 1 }
+                      i += 1
+                    }
+                    out += ((curDp, MsgBlock(curDp, idx, sums)))
+                  }
+                  java.util.Arrays.fill(contribs, 0, nq, 0.0)
+                }
                 bs.foreach { b =>
-                  // two-pointer merge: b.srcIds and vb.ids are both sorted
-                  var i = 0; var k = 0
-                  while (i < b.srcIds.length) {
-                    val s = b.srcIds(i)
-                    while (k < vb.ids.length && vb.ids(k) < s) k += 1
-                    if (k < vb.ids.length && vb.ids(k) == s && vb.outdeg(k) > 0) {
-                      val w = vb.ranks(k) / vb.outdeg(k)
+                  if (b.dpid != curDp) { flush(); curDp = b.dpid }
+                  var i = 0
+                  while (i < b.srcIdx.length) {
+                    val si = b.srcIdx(i)
+                    val od = vb.outdeg(si)
+                    if (od > 0) {
+                      val w = vb.ranks(si) / od
                       var j = b.offsets(i)
-                      while (j < b.offsets(i + 1)) {
-                        acc.addValue(b.dsts(j), w)
-                        j += 1
-                      }
+                      while (j < b.offsets(i + 1)) { contribs(b.nbrIdx(j)) += w; j += 1 }
                     }
                     i += 1
                   }
                 }
-                // bucket the combined sums into one bundle per dest partition
-                val cnt = new Array[Int](P)
-                acc.foreachEntry((dst, _) => cnt(pid(dst, P)) += 1)
-                val dsts = Array.tabulate(P)(p => new Array[Long](cnt(p)))
-                val sums = Array.tabulate(P)(p => new Array[Double](cnt(p)))
-                val fill = new Array[Int](P)
-                acc.foreachEntry { (dst, c) =>
-                  val p = pid(dst, P)
-                  dsts(p)(fill(p)) = dst; sums(p)(fill(p)) = c; fill(p) += 1
-                }
-                (0 until P).iterator
-                  .filter(p => cnt(p) > 0)
-                  .map(p => (p, MsgBlock(p, dsts(p), sums(p))))
+                flush()
+                out.iterator
             }
           }
           .partitionBy(part) // the single per-iteration shuffle
@@ -157,17 +246,19 @@ object CsrPageRank {
         val newState: RDD[VBlock] = state
           .zipPartitions(msgs, preservesPartitioning = true) { (vs, ms) =>
             vs.map { vb =>
-              val sums = new LongDoubleMap(1 << 12)
+              // dense receive: bundle adds land in an array bounded by
+              // this partition's vertex count, no hashing
+              val contribs = new Array[Double](vb.ids.length)
               ms.foreach { case (_, mb) =>
                 var i = 0
-                while (i < mb.dsts.length) { sums.addValue(mb.dsts(i), mb.sums(i)); i += 1 }
+                while (i < mb.idx.length) { contribs(mb.idx(i)) += mb.sums(i); i += 1 }
               }
               val newRanks = new Array[Double](vb.ids.length)
               var delta = 0.0
               var dang = 0.0
               var k = 0
               while (k < vb.ids.length) {
-                val r = (1.0 - alpha) / nn + alpha * (sums.getOrElse(vb.ids(k), 0.0) + d / nn)
+                val r = (1.0 - alpha) / nn + alpha * (contribs(k) + d / nn)
                 delta += math.abs(r - vb.ranks(k))
                 if (vb.outdeg(k) == 0) dang += r
                 newRanks(k) = r

@@ -27,7 +27,30 @@ object LabelPropagation {
 
   final case class LpaResult(labels: DataFrame, iterations: Int, converged: Boolean)
 
-  def run(edges: Dataset[Edge], maxIter: Int = 20): LpaResult =
+  def run(edges: Dataset[Edge], maxIter: Int = 20,
+          checkpoint: CheckpointPolicy = LocalOnly()): LpaResult =
+    iterate(edges, None, 0, maxIter, checkpoint)
+
+  /** Resume from the last committed label state in runDir (fresh run if
+    * none). Identical final labels to an uninterrupted run: a committed
+    * label snapshot is the complete iteration state of the synchronous
+    * vote.
+    */
+  def resume(edges: Dataset[Edge], runDir: String, maxIter: Int = 20): LpaResult = {
+    val spark = edges.sparkSession
+    Supersteps.lastCommitted(spark, runDir) match {
+      case None => run(edges, maxIter, Durable(runDir))
+      case Some(step) =>
+        if (Supersteps.readMetrics(spark, runDir, step).contains("\"converged\":1.0"))
+          LpaResult(Supersteps.readState(spark, runDir, step), step, converged = true)
+        else
+          iterate(edges, Some(Supersteps.readState(spark, runDir, step)), step, maxIter,
+            Durable(runDir))
+    }
+  }
+
+  private def iterate(edges: Dataset[Edge], labels0: Option[DataFrame], iter0: Int,
+                      maxIter: Int, checkpoint: CheckpointPolicy): LpaResult =
     graft.core.IterationConf.withIterationConf(edges.sparkSession) {
     val spark = edges.sparkSession
     val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -44,9 +67,12 @@ object LabelPropagation {
       .repartition(P, col("id")).persist(StorageLevel.MEMORY_AND_DISK)
     verts.count()
 
-    var labels = verts.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var labels = labels0
+      .getOrElse(verts.select(col("id"), col("id").as("label")))
+      .repartition(P, col("id"))
+      .localCheckpoint(true)
 
-    var iter = 0
+    var iter = iter0
     var converged = false
     while (iter < maxIter && !converged) {
       // neighbor labels: edge (u <- label(v))
@@ -83,6 +109,20 @@ object LabelPropagation {
       labels = newLabels
       iter += 1
       converged = changed == 0
+
+      checkpoint match {
+        case Durable(runDir, every) if iter % every == 0 || converged =>
+          val before = labels
+          labels = Supersteps.commit(spark, runDir, iter, labels,
+            Map("iter" -> iter.toDouble, "changed" -> changed.toDouble,
+              "converged" -> (if (converged) 1.0 else 0.0)))
+            .repartition(P, col("id"))
+            .localCheckpoint(true)
+          before.queryExecution.analyzed.collectFirst {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          }.foreach(_.unpersist(false))
+        case _ => ()
+      }
     }
     // labels is a self-contained checkpointed LogicalRDD: release inputs.
     bidir.unpersist(false)

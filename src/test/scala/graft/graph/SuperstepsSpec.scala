@@ -34,6 +34,37 @@ class SuperstepsSpec extends SparkSpec {
     assert(Supersteps.lastCommitted(spark, dir).contains(1))
   }
 
+  test("CC resume from mid-run checkpoint == uninterrupted run") {
+    val edges = Oracles.randomGraph(200, 260, seed = 31) // sparse: many components
+    val ds = edges.toDF("src", "dst").as[Edge]
+
+    val full = ConnectedComponents.run(ds).components
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val partDir = tmpDir()
+    // interrupted: stop after 2 rounds (fixpoint usually needs more)
+    ConnectedComponents.run(ds, maxRounds = 2, checkpoint = Durable(partDir))
+    assert(Supersteps.lastCommitted(spark, partDir).contains(2))
+    val resumed = ConnectedComponents.resume(ds, partDir).components
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == full)
+  }
+
+  test("LPA resume from mid-run checkpoint == uninterrupted run") {
+    val edges = Oracles.randomGraph(120, 400, seed = 37)
+    val ds = edges.toDF("src", "dst").as[Edge]
+
+    val full = LabelPropagation.run(ds, maxIter = 10).labels
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val partDir = tmpDir()
+    LabelPropagation.run(ds, maxIter = 4, checkpoint = Durable(partDir))
+    assert(Supersteps.lastCommitted(spark, partDir).contains(4))
+    val resumed = LabelPropagation.resume(ds, partDir, maxIter = 10).labels
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == full)
+  }
+
   test("PageRank resume from mid-run checkpoint == uninterrupted run") {
     val edges = Oracles.randomGraph(150, 600, seed = 23)
     val ds = edges.toDF("src", "dst").as[Edge]
