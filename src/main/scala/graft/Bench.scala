@@ -2,22 +2,25 @@ package graft
 
 import graft.core.Sessions
 import graft.ingest.{Corpus, Edge, EdgeExtraction}
-import graft.graph.{CsrPageRank, LocalOnly, PageRank, PageRankConfig, PageRankResult}
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import graft.graph.{CsrPageRank, LocalOnly, PageRankConfig, PageRankResult}
+import org.apache.spark.sql.{Dataset, Encoders}
 
 /** Per-round benchmark. Prints ONE JSON line (and writes it to
   * BENCH/last_run.json):
+  *   - the two-cluster-size scaling evidence FIRST (before any other
+  *     work can pollute JVM/OS state): the same fixed-work job — CSR
+  *     PageRank, fixed iterations, fixed shuffle-partition count, same
+  *     edge parquet — at N and 4N cores, each leg in its own forked JVM
+  *     pinned (taskset) to exactly that many host CPUs;
   *   - per-query seconds over SPARK_GRAFT_SF_DIR;
   *   - the north-rule metric: PageRank edges/sec per iteration to 1e-6
   *     convergence on a large corpus-derived edge table (CSR scale path);
-  *   - the two-cluster-size scaling evidence: the same fixed-work job at
-  *     N and 4N cores on identical input, with full-job / loop / prepare
-  *     efficiencies. N=2 vs 4N=8 by default: beyond ~8 threads this
-  *     single box saturates MEMORY BANDWIDTH, which on a real cluster
-  *     scales with executor count — see BENCH/BASELINE.md for the
-  *     full sweep (2/8/32) and the analysis.
+  *   - edge-derivation throughput on the corpus contract table.
   *
-  * Full narrative + baseline comparison in BENCH/BASELINE.md.
+  * Measurement-regime metadata rides in the JSON (shuffle_dir, pinned,
+  * isolation, fixed partition count) so consumers can tell exactly what
+  * was measured. Full narrative + baseline comparison in
+  * BENCH/BASELINE.md.
   */
 object Bench {
 
@@ -29,9 +32,61 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Fixed-iteration CSR PageRank (same work at every parallelism). */
-  private def fixedIters(edges: Dataset[Edge], iters: Int): PageRankResult =
-    CsrPageRank.run(edges, PageRankConfig(tol = 0.0, maxIter = iters, checkpoint = LocalOnly()))
+  /** JDK17 module opens Spark needs outside spark-submit — mirrors
+    * build.sbt / org.apache.spark.launcher.JavaModuleOptions.
+    */
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private case class Leg(cores: Int, total: Double, prepare: Double, loop: Double)
+
+  /** Run one scaling leg in a fresh forked JVM, pinned to `cores` host
+    * CPUs when taskset is available. Falls back to an in-process leg if
+    * the fork fails for any reason.
+    */
+  private def forkLeg(cores: Int, path: String, iters: Int, parts: Int): (Leg, String) = {
+    val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val taskset = new java.io.File("/usr/bin/taskset")
+    val pin =
+      if (taskset.exists) Seq(taskset.getPath, "-c", (0 until cores).mkString(","))
+      else Seq.empty
+    val heap = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+    val cmd = pin ++ Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      heap, "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.BenchLeg", cores.toString, path, iters.toString, parts.toString)
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
+      val rc = proc.waitFor()
+      val line = out.reverse.find(l => l.startsWith("{\"cores\""))
+      if (rc != 0 || line.isEmpty) throw new RuntimeException(s"leg rc=$rc, no JSON (tail: ${out.takeRight(3).mkString(" | ")})")
+      def num(key: String): Double =
+        s""""$key":([0-9.]+)""".r.findFirstMatchIn(line.get).get.group(1).toDouble
+      (Leg(cores, num("t_sec"), num("prepare_sec"), num("loop_sec")),
+        if (pin.nonEmpty) "forked_jvm_pinned" else "forked_jvm")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"forked leg failed (${e.getMessage}); falling back in-process")
+        val s = Sessions.local(cores, s"graft-bench-scale-$cores")
+        try {
+          val edges = s.read.parquet(path).as[Edge]
+          edges.count()
+          val (r, secs) = timed(CsrPageRank.run(edges,
+            PageRankConfig(tol = 0.0, maxIter = iters, checkpoint = LocalOnly())))
+          (Leg(cores, secs, r.prepareSeconds, r.loopSeconds), "in_process")
+        } finally s.stop()
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,14 +96,47 @@ object Bench {
     // doesn't have (per-executor disks); /dev/shm removes it.
     if (!sys.env.contains("SPARK_GRAFT_LOCAL_DIR") && new java.io.File("/dev/shm").isDirectory)
       sys.props("spark.graft.local.dir") = "/dev/shm/graft-spark"
+    val shuffleDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .orElse(sys.props.get("spark.graft.local.dir")).getOrElse("default")
 
-    // ---- session 1: query sweep + edge build + convergence ---------------
+    // ---- probe edge table (built once, reused across rounds) -------------
+    val probeN = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "10000000").toLong
+    val probePath = s"/tmp/graft_probe_edges_$probeN"
+    if (!new java.io.File(probePath + "/_SUCCESS").exists()) {
+      val s = Sessions.local(cpus, "graft-bench-probe-build")
+      val st = Corpus.stamped(Corpus.synthetic(s, probeN, repos = 200, maxDegree = 12, seed = 42))
+      EdgeExtraction.edges(st).write.mode("overwrite").parquet(probePath)
+      s.stop()
+    }
+
+    // ---- scaling legs FIRST: fresh pinned JVMs, identical task graph -----
+    val probeIters = 16
+    val scaleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
+    val coresSmall = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt)
+    val coresLarge = coresSmall * 4
+    val (legSmall, isoSmall) = forkLeg(coresSmall, probePath, probeIters, scaleParts)
+    val (legLarge, isoLarge) = forkLeg(coresLarge, probePath, probeIters, scaleParts)
+    val isolation = if (isoSmall == isoLarge) isoSmall else s"$isoSmall+$isoLarge"
+    val effFull = (legSmall.total / legLarge.total) / (coresLarge.toDouble / coresSmall)
+    val effLoop = (legSmall.loop / legLarge.loop) / (coresLarge.toDouble / coresSmall)
+    val effPrep = (legSmall.prepare / legLarge.prepare) / (coresLarge.toDouble / coresSmall)
+
+    // ---- session: query sweep + north convergence + edge build -----------
     val sparkBig = Sessions.local(cpus, "graft-bench")
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, secs) = try timed(fn(sparkBig, sfDir).count()) catch { case _: Throwable => (0L, -1.0) }
       name -> secs
     }
     val totalQuerySecs = queryTimes.map(_._2).filter(_ >= 0).sum
+
+    // North metric: CSR PageRank to 1e-6 on a LARGE graph (per-iteration
+    // fixed cost amortized; loopSeconds excludes the one-time graph build).
+    val probeEdgesDs = sparkBig.read.parquet(probePath).as[Edge]
+    val convResult = CsrPageRank.run(probeEdgesDs,
+      PageRankConfig(tol = 1e-6, maxIter = 200, checkpoint = LocalOnly()))
+    val m = convResult.edgeCount
+    val iters = convResult.iterations
+    val edgesPerSecPerIter = m.toDouble * iters / convResult.loopSeconds
 
     // Edge-derivation throughput on the corpus contract table.
     val corpusN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "400000").toLong
@@ -59,51 +147,18 @@ object Bench {
       sparkBig.read.parquet(edgesPath).count()
     }
 
-    // North metric: CSR PageRank to 1e-6 on a LARGE graph (per-iteration
-    // fixed cost amortized; loopSeconds excludes the one-time graph build).
-    val probeN = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "10000000").toLong
-    val probePath = s"/tmp/graft_probe_edges_$probeN"
-    if (!new java.io.File(probePath + "/_SUCCESS").exists()) {
-      val st = Corpus.stamped(Corpus.synthetic(sparkBig, probeN, repos = 200, maxDegree = 12, seed = 42))
-      EdgeExtraction.edges(st).write.mode("overwrite").parquet(probePath)
-    }
-    val probeEdgesDs = sparkBig.read.parquet(probePath).as[Edge]
-    val convResult = CsrPageRank.run(probeEdgesDs,
-      PageRankConfig(tol = 1e-6, maxIter = 200, checkpoint = LocalOnly()))
-    val m = convResult.edgeCount
-    val iters = convResult.iterations
-    val edgesPerSecPerIter = m.toDouble * iters / convResult.loopSeconds
-
-    // ---- scaling probe: same fixed-work job at N and 4N cores ------------
-    val probeIters = 16
-    val coresSmall = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt)
-    val coresLarge = coresSmall * 4
-    sparkBig.stop()
-
-    def leg(cores: Int): (Double, PageRankResult) = {
-      val s = Sessions.local(cores, s"graft-bench-scale-$cores")
-      val edges = s.read.parquet(probePath).as[Edge]
-      edges.count() // warm parquet footers + JIT outside the timer
-      val (r, secs) = timed(fixedIters(edges, probeIters))
-      s.stop()
-      (secs, r)
-    }
-    val (tSmall, rSmall) = leg(coresSmall)
-    val (tLarge, rLarge) = leg(coresLarge)
-    val effFull = (tSmall / tLarge) / (coresLarge.toDouble / coresSmall)
-    val effLoop = (rSmall.loopSeconds / rLarge.loopSeconds) / (coresLarge.toDouble / coresSmall)
-    val effPrep = (rSmall.prepareSeconds / rLarge.prepareSeconds) / (coresLarge.toDouble / coresSmall)
-
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.1f".format(edgesPerSecPerIter)},"unit":"edges/sec","queries":$qs,"sf":"$sfDir",""" +
       s""""query_total_sec":${"%.2f".format(totalQuerySecs)},""" +
+      s""""shuffle_dir":"$shuffleDir",""" +
       s""""pagerank":{"edges":$m,"vertices":${convResult.vertexCount},"iterations":$iters,"loop_sec":${"%.2f".format(convResult.loopSeconds)},"prepare_sec":${"%.2f".format(convResult.prepareSeconds)},"converged":${convResult.converged}},""" +
       s""""edge_build":{"corpus_rows":$corpusN,"edges":$edgesCount,"seconds":${"%.2f".format(edgeBuildSecs)},"edges_per_sec":${"%.1f".format(edgesCount / edgeBuildSecs)}},""" +
       s""""scaling":{"cores_small":$coresSmall,"cores_large":$coresLarge,"probe_edges":$m,"probe_iters":$probeIters,""" +
-      s""""t_small_sec":${"%.2f".format(tSmall)},"t_large_sec":${"%.2f".format(tLarge)},""" +
-      s""""loop_small_sec":${"%.2f".format(rSmall.loopSeconds)},"loop_large_sec":${"%.2f".format(rLarge.loopSeconds)},""" +
-      s""""prepare_small_sec":${"%.2f".format(rSmall.prepareSeconds)},"prepare_large_sec":${"%.2f".format(rLarge.prepareSeconds)},""" +
+      s""""fixed_shuffle_partitions":$scaleParts,"isolation":"$isolation","shuffle_dir":"$shuffleDir",""" +
+      s""""t_small_sec":${"%.2f".format(legSmall.total)},"t_large_sec":${"%.2f".format(legLarge.total)},""" +
+      s""""loop_small_sec":${"%.2f".format(legSmall.loop)},"loop_large_sec":${"%.2f".format(legLarge.loop)},""" +
+      s""""prepare_small_sec":${"%.2f".format(legSmall.prepare)},"prepare_large_sec":${"%.2f".format(legLarge.prepare)},""" +
       s""""efficiency":${"%.3f".format(effFull)},"efficiency_loop":${"%.3f".format(effLoop)},"efficiency_prepare":${"%.3f".format(effPrep)}}}"""
     println(json)
     // Machine-readable copy for the driver (stdout goes through sbt's
@@ -113,5 +168,6 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH/last_run.json"),
       (json + "\n").getBytes("UTF-8"))
+    sparkBig.stop()
   }
 }

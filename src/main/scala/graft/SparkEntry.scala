@@ -418,7 +418,11 @@ object SparkEntry {
         .select(col("n_name"), lit("customer").as("kind"))
       a.union(b).groupBy(col("n_name"), col("kind")).agg(count(lit(1)).as("n"))
     }),
-    // --- per-author graph JSON export (rows-only: JSON string formatting is engine-specific) -------------------------------------------
+    // --- per-author graph JSON export. The comparable columns are PARSED
+    // BACK OUT of the produced JSON (node count, edge count, edge-prob
+    // sum), so the DuckDB base-table oracle verifies the export is
+    // well-formed and content-complete while the exact string formatting
+    // stays engine-specific. ------------------------------------------------------------------------------------------------------------
     "q_export_graph" -> ((s, d) => {
       linkUniverse(s, d) match { case (edges, _, _, _) =>
         val links = edges.select(
@@ -428,10 +432,57 @@ object SparkEntry {
         val papers = t(s, d, "orders").select(
           col("o_custkey").as("authorID"), col("o_orderkey").as("paperID"),
           (col("o_orderkey") % 2).cast("double").as("isKeyPaper"))
-        GraphExport.perAuthorJson(links, papers, minProb = 0.3)
+        val g = GraphExport.perAuthorJson(links, papers, minProb = 0.3)
+        val edgesSchema = org.apache.spark.sql.types.DataType.fromDDL(
+          "array<struct<source:bigint,target:bigint,prob:double>>")
+        val parsedEdges = from_json(get_json_object(col("graph_json"), "$.edges"), edgesSchema)
+        g.select(
+          col("authorID"),
+          size(json_object_keys(get_json_object(col("graph_json"), "$.nodes"))).cast("long").as("n_nodes"),
+          size(parsedEdges).cast("long").as("n_edges"),
+          round(aggregate(parsedEdges, lit(0.0), (acc, x) => acc + x.getField("prob")), 6).as("sum_prob"))
       }
+    }),
+    // --- isKeyPaper end-to-end: W3/W4 coupled prefix sums + windowed-max
+    // supervisor rate, with the 1.0 first-author and 1/authorOrder
+    // fallback paths (compute_key_papers.py:107-206,231-259) --------------------------------------------------------------------------
+    "q_key_papers" -> ((s, d) =>
+      keyPapersResult(s, d).select(col("authorID"), col("paperID"),
+        col("year").cast("long").as("year"),
+        col("authorOrder").cast("long").as("authorOrder"),
+        round(col("isKeyPaper"), 6).as("isKeyPaper"))),
+    // --- distribution stats over the isKeyPaper product (analyse_distribution.py:22-42) ----------------------------------------------
+    "q_key_papers_dist" -> ((s, d) => {
+      val v = round(col("isKeyPaper"), 6)
+      keyPapersResult(s, d).agg(
+        count(lit(1)).as("n"),
+        round(avg(when(v === 0.0, 1.0).otherwise(0.0)), 6).as("p_zero"),
+        round(avg(when(v > 0.0 && v < 1.0, 1.0).otherwise(0.0)), 6).as("p_mid"),
+        round(avg(when(v === 1.0, 1.0).otherwise(0.0)), 6).as("p_one"),
+        round(avg(when(v >= 0.5, 1.0).otherwise(0.0)), 6).as("p_ge_half"),
+        round(avg(v), 6).as("mean"),
+        round(var_samp(v), 6).as("variance"),
+        round(expr("percentile(round(isKeyPaper, 6), 0.5)"), 6).as("median"))
     })
   )
+
+  /** Shared key-papers universe: orders are papers, lineitems are author
+    * credits (l_linenumber = authorOrder), suppliers <= 25 the "top
+    * authors"; papers with paperID % 7 == 0 lose their first-author row
+    * to exercise the 1/authorOrder fallback.
+    */
+  private def keyPapersResult(s: SparkSession, d: String): DataFrame = {
+    val papers = t(s, d, "orders").select(
+      col("o_orderkey").as("paperID"), col("o_orderpriority").as("title"),
+      year(col("o_orderdate")).cast("int").as("year"))
+    val pa = t(s, d, "lineitem")
+      .filter(!(col("l_linenumber") === 1 && col("l_orderkey") % 7 === 0))
+      .select(col("l_orderkey").as("paperID"), col("l_suppkey").as("authorID"),
+        col("l_linenumber").as("authorOrder"))
+    val top = t(s, d, "supplier").filter(col("s_suppkey") <= 25)
+      .select(col("s_suppkey").as("authorID"))
+    KeyPapers.isKeyPaper(papers, pa, top)
+  }
 
   /** Shared derived citation universe for the link-feature queries:
     * orders are "papers" (paperID = o_orderkey, year = year(o_orderdate),
@@ -741,7 +792,217 @@ object SparkEntry {
          concat(substr(pp[1], 1, 3), ' ', pp[len(pp)]) AS short3
        FROM parts"""
 
+  /** Topic word merge+filter oracle: the per-topic sequential fold of
+    * TopicWords.mergeTopic (merge_word.py:48-67) as a DuckDB RECURSIVE
+    * CTE over the descending-prob word list, carrying the ordered
+    * (key, prob) dict as a STRUCT list; lemma + unused-word + first-
+    * containing-key semantics mirrored exactly, then filter_word.py's
+    * first-5-or-prob>=0.01 keep rule.
+    */
+  private def topicWordsOracle: String = {
+    val unused = graft.analytics.TopicWords.UnusedWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    val empty = "CAST([] AS STRUCT(k VARCHAR, p DOUBLE)[])"
+    s"""WITH RECURSIVE toks AS MATERIALIZED (
+          SELECT doc_id % 5 AS topicID, tok AS word, count(*) AS n
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok FROM documents)
+          WHERE len(tok) > 0 GROUP BY 1, 2),
+        tot AS (SELECT topicID, sum(n) AS t FROM toks GROUP BY 1),
+        ranked AS MATERIALIZED (
+          SELECT t.topicID, t.word, t.n / CAST(tot.t AS DOUBLE) AS prob,
+                 row_number() OVER (PARTITION BY t.topicID ORDER BY t.n DESC, t.word) AS rn
+          FROM toks t JOIN tot USING (topicID)),
+        lemmed AS MATERIALIZED (
+          SELECT topicID, rn, word, prob,
+            CASE
+              WHEN w LIKE '%ies' AND len(w) > 4 THEN substr(w, 1, len(w) - 3) || 'y'
+              WHEN w LIKE '%sses' THEN substr(w, 1, len(w) - 2)
+              WHEN w LIKE '%xes' OR w LIKE '%ches' OR w LIKE '%shes' THEN substr(w, 1, len(w) - 2)
+              WHEN w LIKE '%s' AND w NOT LIKE '%ss' AND w NOT LIKE '%us' AND len(w) > 3 THEN substr(w, 1, len(w) - 1)
+              ELSE w END AS lem
+          FROM (SELECT topicID, rn, word, prob,
+                  CASE WHEN word = 'visualisation' THEN 'visualization' ELSE word END AS w
+                FROM ranked WHERE rn <= 20)),
+        fold(topicID, i, st) AS (
+          SELECT topicID, 0, $empty FROM (SELECT DISTINCT topicID FROM lemmed)
+          UNION ALL
+          SELECT f.topicID, f.i + 1,
+            CASE
+              WHEN o.word IN ($unused) THEN f.st
+              WHEN len(coalesce(list_filter(f.st, x -> position(o.lem IN x.k) > 0), $empty)) > 0 THEN
+                list_transform(f.st, (x, j) -> CASE
+                  WHEN j = list_filter(list_transform(f.st, (y, jj) ->
+                         CASE WHEN position(o.lem IN y.k) > 0 THEN jj END), z -> z IS NOT NULL)[1]
+                  THEN struct_pack(k := x.k, p := x.p + o.prob) ELSE x END)
+              ELSE list_append(f.st, struct_pack(k := o.lem, p := o.prob))
+            END
+          FROM fold f JOIN lemmed o ON o.topicID = f.topicID AND o.rn = f.i + 1),
+        final AS (SELECT topicID, max_by(st, i) AS st FROM fold GROUP BY 1),
+        filt AS (
+          SELECT topicID, list_filter(
+            list_sort(list_transform(st, (x, i) -> struct_pack(np := -x.p, i := i, k := x.k, p := x.p))),
+            (x, i) -> i <= 5 OR x.p >= 0.01) AS keep
+          FROM final)
+        SELECT topicID, u.k AS word, round(u.p, 6) AS prob
+        FROM (SELECT topicID, unnest(keep) AS u FROM filt)"""
+  }
+
+  /** Export oracle: the per-author node/edge counts + prob sum computed
+    * straight from the base tables (the Spark side parses the same three
+    * numbers back out of its JSON export).
+    */
+  private def exportGraphOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 30),
+       raw_e AS (SELECT DISTINCT x.l_orderkey AS citing, y.l_orderkey AS cited
+                 FROM li x JOIN li y ON x.l_partkey = y.l_partkey AND x.l_orderkey > y.l_orderkey),
+       edges AS (SELECT r.citing, r.cited, o.o_custkey AS authorID
+                 FROM raw_e r JOIN orders o ON o.o_orderkey = r.citing),
+       kept AS (SELECT authorID, (citing % 100) / 100.0 AS prob FROM edges
+                WHERE (citing % 100) / 100.0 >= 0.3),
+       eagg AS (SELECT authorID, CAST(count(*) AS BIGINT) AS n_edges,
+                       round(sum(prob), 6) AS sum_prob
+                FROM kept GROUP BY 1),
+       nagg AS (SELECT o_custkey AS authorID, CAST(count(*) AS BIGINT) AS n_nodes
+                FROM orders GROUP BY 1)
+       SELECT n.authorID, n.n_nodes, coalesce(e.n_edges, 0) AS n_edges,
+              coalesce(e.sum_prob, 0.0) AS sum_prob
+       FROM nagg n LEFT JOIN eagg e USING (authorID)"""
+
+  /** isKeyPaper oracle: the full supervisor-rate pipeline
+    * (compute_key_papers.py:107-206 via analytics.KeyPapers) in DuckDB
+    * list SQL — per-author year/count lists, coupled prefix sums with
+    * year/paper decay modifiers, the O(Y^2) windowed max over [s,e]
+    * spans, and the supervising-rate back-off, plus the 1.0 first-author
+    * and 1/authorOrder fallback paths.
+    */
+  private def keyPapersOracle: String = {
+    import graft.analytics.KeyPapers._
+    // supervisedYearModifier(j0) / supervisedPaperModifier(x) as SQL over
+    // a 0-based index j0 / a truncated running count x
+    def ym(j0: String) =
+      s"(CASE WHEN ($j0) < $MaxSupervisedYear THEN 1.0 ELSE exp(-ln(2) * (($j0) - ${MaxSupervisedYear - 1}) / $HalfSupervisedYear) END)"
+    def pm(x: String) =
+      s"(CASE WHEN ($x) < $MaxSupervisedPaper THEN 1.0 ELSE exp(-ln(2) * (($x) - ${MaxSupervisedPaper - 1}) / $HalfSupervisedPaper) END)"
+    val maxYears = MaxAcademicYear + 1
+    s"""WITH pa AS MATERIALIZED (
+          SELECT l_orderkey AS paperID, l_suppkey AS authorID, l_linenumber AS authorOrder
+          FROM lineitem WHERE NOT (l_linenumber = 1 AND l_orderkey % 7 = 0)),
+        papers AS MATERIALIZED (
+          SELECT o_orderkey AS paperID, year(o_orderdate) AS year FROM orders),
+        top AS (SELECT s_suppkey AS authorID FROM supplier WHERE s_suppkey <= 25),
+        pairsAll AS MATERIALIZED (
+          SELECT pa.authorID, pa.paperID, p.year, min(pa.authorOrder) AS authorOrder
+          FROM pa JOIN top USING (authorID) JOIN papers p USING (paperID)
+          GROUP BY 1, 2, 3),
+        firstAuthor AS (SELECT paperID, authorID AS firstAuthorID FROM pa WHERE authorOrder = 1),
+        faPairs AS MATERIALIZED (
+          SELECT DISTINCT pf.authorID, fa.firstAuthorID AS authorID_first
+          FROM (SELECT pa.paperID, pa.authorID FROM pa JOIN top USING (authorID) WHERE pa.authorOrder > 1) pf
+          JOIN firstAuthor fa USING (paperID)),
+        pjoined AS MATERIALIZED (
+          SELECT pa.authorID, pa.authorOrder, p.year, CAST(count(*) AS DOUBLE) AS cnt
+          FROM pa JOIN papers p USING (paperID) GROUP BY 1, 2, 3),
+        pcnt AS (SELECT authorID, year, sum(cnt) AS c FROM pjoined GROUP BY 1, 2),
+        wcnt AS (SELECT authorID, year, sum(cnt / authorOrder) AS c FROM pjoined
+                 WHERE authorOrder <= $MinStudentAuthorOrder GROUP BY 1, 2),
+        codist AS MATERIALIZED (
+          SELECT DISTINCT fp.authorID_first, fp.authorID, pa1.paperID, pa1.authorOrder, p.year
+          FROM faPairs fp
+          JOIN (SELECT paperID, authorID AS af, authorOrder FROM pa
+                WHERE authorOrder <= $MinStudentAuthorOrder) pa1 ON pa1.af = fp.authorID_first
+          JOIN pa pa2 ON pa2.authorID = fp.authorID AND pa2.paperID = pa1.paperID
+          JOIN papers p ON p.paperID = pa1.paperID
+          WHERE pa1.authorOrder < pa2.authorOrder),
+        cojoined AS (SELECT authorID_first, authorID, authorOrder, year, CAST(count(*) AS DOUBLE) AS cnt
+                     FROM codist GROUP BY 1, 2, 3, 4),
+        cow AS (SELECT authorID_first, authorID, year, sum(cnt / authorOrder) AS c FROM cojoined GROUP BY 1, 2, 3),
+        cop AS (SELECT authorID_first, authorID, year, sum(cnt) AS c FROM cojoined GROUP BY 1, 2, 3),
+        sylist AS (SELECT authorID, list_sort(list_distinct(list(year))) AS years
+                   FROM (SELECT pa.authorID, p.year FROM pa JOIN papers p USING (paperID))
+                   GROUP BY 1),
+        falist AS (SELECT authorID, list(struct_pack(year := year, c := c) ORDER BY year) AS l FROM wcnt GROUP BY 1),
+        suplist AS (SELECT authorID, list(struct_pack(year := year, c := c) ORDER BY year) AS l FROM pcnt GROUP BY 1),
+        cwlist AS (SELECT authorID_first, authorID, list(struct_pack(year := year, c := c) ORDER BY year) AS l
+                   FROM cow GROUP BY 1, 2),
+        cplist AS (SELECT authorID_first, authorID, list(struct_pack(year := year, c := c) ORDER BY year) AS l
+                   FROM cop GROUP BY 1, 2),
+        base AS MATERIALIZED (
+          SELECT pr.authorID, pr.paperID, pr.year, pr.authorOrder, fa.firstAuthorID,
+                 list_slice(coalesce(sy.years, CAST([] AS BIGINT[])), 1, $maxYears) AS sy2,
+                 fw.l AS faw, sp.l AS supc, cw.l AS caw, cp.l AS coc
+          FROM pairsAll pr
+          LEFT JOIN firstAuthor fa USING (paperID)
+          LEFT JOIN sylist sy ON sy.authorID = fa.firstAuthorID
+          LEFT JOIN falist fw ON fw.authorID = fa.firstAuthorID
+          LEFT JOIN suplist sp ON sp.authorID = pr.authorID
+          LEFT JOIN cwlist cw ON cw.authorID_first = fa.firstAuthorID AND cw.authorID = pr.authorID
+          LEFT JOIN cplist cp ON cp.authorID_first = fa.firstAuthorID AND cp.authorID = pr.authorID),
+        c2 AS MATERIALIZED (
+          SELECT *, len(sy2) AS L, list_position(sy2, year) AS yi1,
+            list_transform(sy2, y -> coalesce(list_filter(faw, s -> s.year = y)[1].c, 0.0)) AS fav,
+            list_transform(sy2, y -> coalesce(list_filter(caw, s -> s.year = y)[1].c, 0.0)) AS cav
+          FROM base),
+        c3 AS MATERIALIZED (
+          SELECT *,
+            list_transform(generate_series(1, L), i -> coalesce(list_sum(list_slice(fav, 1, i - 1)), 0.0)) AS ss,
+            list_transform(generate_series(1, L), i ->
+              coalesce(list_sum(list_slice(list_reverse(fav), 1, L - i)), 0.0)) AS es
+          FROM c2),
+        c4 AS MATERIALIZED (
+          SELECT *,
+            list_transform(generate_series(1, L), i ->
+              coalesce(list_sum(list_transform(generate_series(1, i - 1), j ->
+                cav[j] * least(${ym("j - 1")}, ${pm("trunc(ss[j])")}))), 0.0)) AS sc,
+            list_transform(generate_series(1, L), i ->
+              coalesce(list_sum(list_slice(list_transform(generate_series(1, L), k ->
+                cav[L - k + 1] * least(${ym("k - 1")}, ${pm("trunc(ss[k])")})), 1, L - i)), 0.0)) AS ec
+          FROM c3),
+        c5 AS MATERIALIZED (
+          SELECT *,
+            ss[yi1] + es[yi1] + coalesce(list_filter(faw, s -> s.year = year)[1].c, 0.0) AS ts,
+            sc[yi1] + ec[yi1] + coalesce(list_filter(caw, s -> s.year = year)[1].c, 0.0) *
+              least(${ym("yi1 - 1")}, ${pm("trunc(ss[yi1])")}) AS tc
+          FROM c4),
+        c6 AS MATERIALIZED (
+          SELECT *,
+            greatest(coalesce(list_max(list_filter(flatten(list_transform(generate_series(1, yi1), s1 ->
+              list_transform(generate_series(yi1, L), e1 -> CASE
+                WHEN (e1 - s1 + 1) >= $MinSupervisedYearSpan
+                     AND (ts - ss[s1] - es[e1]) >= $MinSupervisedPaperSpan
+                THEN (tc - sc[s1] - ec[e1]) / (ts - ss[s1] - es[e1]) END))),
+              x -> x IS NOT NULL)), 0.0), 0.0) AS maxrate0,
+            coalesce(list_sum(list_transform(list_filter(supc, s -> s.year < year), s -> s.c)), 0.0) AS tsup,
+            coalesce(list_sum(list_transform(list_filter(coc, s -> s.year < year), s -> s.c)), 0.0) AS tcop
+          FROM c5)
+        SELECT authorID, paperID, CAST(year AS BIGINT) AS year,
+          CAST(authorOrder AS BIGINT) AS authorOrder,
+          round(CASE
+            WHEN firstAuthorID IS NULL THEN 1.0 / authorOrder
+            WHEN firstAuthorID = authorID THEN 1.0
+            WHEN coalesce(yi1, 0) < 1 OR caw IS NULL OR len(caw) = 0 THEN 0.0
+            ELSE least(1.0, maxrate0 / $MinSupervisedRate) *
+                 (CASE WHEN tsup - tcop <= 0 THEN 0.0
+                       WHEN tcop = 0 THEN least(1.0, $MinSupervisingRate / $MinSupervisingRate)
+                       ELSE least(1.0, ((tsup - tcop) / tcop) / $MinSupervisingRate) END)
+            END, 6) AS isKeyPaper
+        FROM c6"""
+  }
+
+  private def keyPapersDistOracle: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n,
+        round(avg(CASE WHEN isKeyPaper = 0.0 THEN 1.0 ELSE 0.0 END), 6) AS p_zero,
+        round(avg(CASE WHEN isKeyPaper > 0.0 AND isKeyPaper < 1.0 THEN 1.0 ELSE 0.0 END), 6) AS p_mid,
+        round(avg(CASE WHEN isKeyPaper = 1.0 THEN 1.0 ELSE 0.0 END), 6) AS p_one,
+        round(avg(CASE WHEN isKeyPaper >= 0.5 THEN 1.0 ELSE 0.0 END), 6) AS p_ge_half,
+        round(avg(isKeyPaper), 6) AS mean,
+        round(var_samp(isKeyPaper), 6) AS variance,
+        round(CAST(median(isKeyPaper) AS DOUBLE), 6) AS median
+        FROM ($keyPapersOracle) kp"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_topic_words" -> topicWordsOracle,
+    "q_export_graph" -> exportGraphOracle,
+    "q_key_papers" -> keyPapersOracle,
+    "q_key_papers_dist" -> keyPapersDistOracle,
     "q_abstract_merge" ->
       """WITH abs AS (SELECT doc_id % 100 AS paperID,
            CASE WHEN doc_id % 3 = 0 THEN concat('Abstract ', text) ELSE text END AS abstract
@@ -753,7 +1014,7 @@ object SparkEntry {
          SELECT paperID, string_agg(DISTINCT abstract, chr(10) ORDER BY abstract) AS abstract
          FROM cleaned GROUP BY 1""",
     "q_csv_roundtrip" ->
-      """SELECT count(*) AS n, sum(n_chars) AS total_chars,
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          count(DISTINCT doc_id) AS n_docs FROM documents""",
     "q_regex_filter" ->
       """SELECT lang, count(*) AS n FROM documents

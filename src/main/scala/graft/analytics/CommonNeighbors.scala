@@ -27,18 +27,37 @@ object CommonNeighbors {
 
   /** For each (a, b) in `pairs`, metrics over shared IN-neighbors of a and
     * b in `edges(src, dst)` (co-citation when edges = citations).
+    *
+    * When `multisetEdges` is given (edge rows WITH author-fanout
+    * duplicates), cosine denominators use the duplicate-bearing neighbor
+    * LIST lengths — exactly the reference, whose `edges_by_cited` /
+    * `edges_by_citing` lists (extract_link_features.py:30-31) keep one
+    * entry per (pair, author) row while raw/jaccard dedup through sets
+    * (compute_metrics, :189-201).
     */
-  def coCitation(edges: DataFrame, pairs: DataFrame): DataFrame =
-    metrics(edges.select(col("dst").as("node"), col("src").as("nbr")), pairs)
+  def coCitation(edges: DataFrame, pairs: DataFrame, multisetEdges: DataFrame = null): DataFrame =
+    metrics(
+      edges.select(col("dst").as("node"), col("src").as("nbr")), pairs,
+      if (multisetEdges == null) null
+      else multisetEdges.select(col("dst").as("node"), col("src").as("nbr")))
 
   /** Shared OUT-neighbor metrics (bibliographic coupling). */
-  def bibCoupling(edges: DataFrame, pairs: DataFrame): DataFrame =
-    metrics(edges.select(col("src").as("node"), col("dst").as("nbr")), pairs)
+  def bibCoupling(edges: DataFrame, pairs: DataFrame, multisetEdges: DataFrame = null): DataFrame =
+    metrics(
+      edges.select(col("src").as("node"), col("dst").as("nbr")), pairs,
+      if (multisetEdges == null) null
+      else multisetEdges.select(col("src").as("node"), col("dst").as("nbr")))
 
-  /** adjacency(node, nbr) + pairs(a, b) -> (a, b, raw, cosine, jaccard). */
-  def metrics(adjacency: DataFrame, pairs: DataFrame): DataFrame = {
+  /** adjacency(node, nbr) + pairs(a, b) -> (a, b, raw, cosine, jaccard).
+    * `multisetAdjacency`, when non-null, supplies the duplicate-bearing
+    * rows whose per-node COUNT is the cosine denominator (reference list
+    * lengths); raw and jaccard always use the deduped set semantics.
+    */
+  def metrics(adjacency: DataFrame, pairs: DataFrame, multisetAdjacency: DataFrame = null): DataFrame = {
     val adj = adjacency.distinct()
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val degSource = if (multisetAdjacency == null) adj else multisetAdjacency
+    val deg = degSource.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val setDeg = adj.groupBy(col("node")).agg(count(lit(1)).as("sdeg"))
 
     // raw = |N(a) ∩ N(b)|: join adjacency to itself through the pair list.
     val aSide = adj.select(col("node").as("a"), col("nbr"))
@@ -49,10 +68,19 @@ object CommonNeighbors {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("raw"))
 
-    pairs
+    val base = pairs
       .join(raw, Seq("a", "b"), "left")
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), Seq("a"), "left")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), Seq("b"), "left")
+    // set-cardinality degrees for the jaccard union; identical to deg when
+    // no multiset adjacency was supplied (skip the two extra joins then)
+    val withSet =
+      if (multisetAdjacency == null)
+        base.withColumn("sdeg_a", col("deg_a")).withColumn("sdeg_b", col("deg_b"))
+      else base
+        .join(setDeg.withColumnRenamed("node", "a").withColumnRenamed("sdeg", "sdeg_a"), Seq("a"), "left")
+        .join(setDeg.withColumnRenamed("node", "b").withColumnRenamed("sdeg", "sdeg_b"), Seq("b"), "left")
+    withSet
       .select(
         col("a"),
         col("b"),
@@ -61,11 +89,11 @@ object CommonNeighbors {
           .otherwise(coalesce(col("raw"), lit(0L)) / sqrt(col("deg_a") * col("deg_b")))
           .as("cosine"),
         when(
-          coalesce(col("deg_a"), lit(0L)) + coalesce(col("deg_b"), lit(0L)) - coalesce(col("raw"), lit(0L)) <= 0,
+          coalesce(col("sdeg_a"), lit(0L)) + coalesce(col("sdeg_b"), lit(0L)) - coalesce(col("raw"), lit(0L)) <= 0,
           lit(0.0)
         ).otherwise(
           coalesce(col("raw"), lit(0L)) /
-            (coalesce(col("deg_a"), lit(0L)) + coalesce(col("deg_b"), lit(0L)) - coalesce(col("raw"), lit(0L)))
+            (coalesce(col("sdeg_a"), lit(0L)) + coalesce(col("sdeg_b"), lit(0L)) - coalesce(col("raw"), lit(0L)))
         ).as("jaccard")
       )
   }

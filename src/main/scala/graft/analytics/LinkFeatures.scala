@@ -63,12 +63,17 @@ object LinkFeatures {
   ): DataFrame = {
     val pairs = edges.select(col("citingpaperID").as("a"), col("citedpaperID").as("b")).distinct()
 
-    // --- neighbor-set metrics (in = cocitation, out = bibcoupling) ------
-    val e = edges.select(col("citingpaperID").as("src"), col("citedpaperID").as("dst")).distinct()
-    val coc = CommonNeighbors.coCitation(e, pairs)
+    // --- neighbor-set metrics (in = cocitation, out = bibcoupling). The
+    // reference's neighbor lists keep author-fanout duplicates
+    // (extract_link_features.py:30-31 group the raw edges.csv rows), so
+    // cosine denominators use the duplicate-bearing list lengths while
+    // raw/jaccard dedup through sets — pass both edge forms down. --------
+    val eMulti = edges.select(col("citingpaperID").as("src"), col("citedpaperID").as("dst"))
+    val e = eMulti.distinct()
+    val coc = CommonNeighbors.coCitation(e, pairs, eMulti)
       .withColumnsRenamed(Map(
         "raw" -> "raw_cocitation", "cosine" -> "cosine_cocitation", "jaccard" -> "jaccard_cocitation"))
-    val bib = CommonNeighbors.bibCoupling(e, pairs)
+    val bib = CommonNeighbors.bibCoupling(e, pairs, eMulti)
       .withColumnsRenamed(Map(
         "raw" -> "raw_bibcoupling", "cosine" -> "cosine_bibcoupling", "jaccard" -> "jaccard_bibcoupling"))
 

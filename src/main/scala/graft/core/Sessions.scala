@@ -29,8 +29,15 @@ object Sessions {
         new java.io.File(dir).mkdirs()
         builder.config("spark.local.dir", dir)
       }
+    // Shuffle partition override: the scaling probe pins this to ONE value
+    // across its legs so both run the identical task graph (on a cluster
+    // partitions are sized to the data, not to the executor count, and
+    // only the executors vary between the N and 4N runs).
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS")
+      .orElse(sys.props.get("spark.graft.shuffle.parts"))
+      .map(_.toInt).getOrElse(cores)
     val spark = builder
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

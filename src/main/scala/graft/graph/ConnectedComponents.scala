@@ -104,7 +104,12 @@ object ConnectedComponents {
       .union(edges.toDF.select(col("dst").as("id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    allVerts.count()
+    val nVerts = allVerts.count()
+    // Size the per-round shuffles to the loop data: ~20 rounds x 2
+    // shuffles over a tiny frontier must not pay `P` empty-task
+    // overheads each (restored by withIterationConf's finally).
+    val Pr = graft.core.IterationConf.sizedPartitions(P, nVerts)
+    spark.conf.set("spark.sql.shuffle.partitions", Pr)
 
     // Eager localCheckpoint per round: truncates lineage and avoids the
     // CacheManager invalidate-rebuild trap of persist/unpersist chains
@@ -119,7 +124,7 @@ object ConnectedComponents {
       val afterLarge = largeStar(bidirL)
       val bidirS = afterLarge.union(afterLarge.select(col("v").as("u"), col("u").as("v")))
       var next = smallStar(bidirS)
-        .repartition(P, col("u"))
+        .repartition(Pr, col("u"))
         .localCheckpoint(true)
       val sig = signature(next)
       rounds += 1
@@ -132,7 +137,7 @@ object ConnectedComponents {
           next = Supersteps.commit(spark, runDir, rounds, next,
             Map("round" -> rounds.toDouble, "frontier_edges" -> sig._1.toDouble,
               "stable" -> (if (stable) 1.0 else 0.0)))
-            .repartition(P, col("u"))
+            .repartition(Pr, col("u"))
             .localCheckpoint(true)
           releaseCheckpoint(before)
         case _ => ()

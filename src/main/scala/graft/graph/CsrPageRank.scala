@@ -2,9 +2,9 @@ package graft.graph
 
 import graft.core.IterationConf
 import graft.ingest.Edge
-import org.apache.spark.{HashPartitioner, Partitioner}
+import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -26,26 +26,54 @@ import org.apache.spark.storage.StorageLevel
   *    and capped at maxEdgesPerBlock (streaming build off an external
   *    sort — bounded task memory at any scale).
   *
-  * The iteration hot loop is therefore hash-free and allocation-light:
+  * PREPARE runs entirely on Catalyst shuffles + Tungsten external sorts
+  * (whole-stage codegen, spillable, no boxed-record Java serialization —
+  * the round-2 prepare moved every edge twice as boxed RDD tuples and was
+  * 6x the loop's wall time). The trick that lets a DataFrame exchange
+  * feed partitioner-pinned zipPartitions: `repartition(P, token(pid))`
+  * where `token` is a driver-computed int per pid with
+  * murmur3(token(p)) % P == p — Catalyst's HashPartitioning then places
+  * pid p exactly in partition index p, matching the loop's
+  * HashPartitioner placement (Int key k -> partition k). Three passes:
+  *
+  *  1. vertex table: one map-side-combined aggregation over both
+  *     endpoint columns -> (id, outdeg); repartition(P, token) +
+  *     sortWithinPartitions(id) -> streamed into per-partition primitive
+  *     VBlock arrays (dense index == sorted position).
+  *  2. dst-resolve: edges repartition(P, token(pid(dst))) (shuffle, NO
+  *     sort) zipped with state; each dst resolved to its dense index by
+  *     binary search in the partition's sorted id array.
+  *  3. grid build: resolved (src, dpid, didx) rows back through an
+  *     encoder, repartition(P, token(pid(src))) +
+  *     sortWithinPartitions(dpid, src) — a Tungsten external sort — then
+  *     a single streaming pass zipped with state emits IdxBlocks (src
+  *     index resolved once per group head by binary search).
+  *
+  * The iteration hot loop is hash-free and allocation-light:
   *
   *  1. zipPartitions(blocks, state): for each destination partition's
   *     contiguous block run, accumulate `ranks[srcIdx]/outdeg[srcIdx]`
   *     into ONE reused dense double array indexed by nbrIdx, then emit
-  *     the nonzero (idx, sum) pairs as a primitive bundle. The shuffle
-  *     moves at most P bundles per source partition — pre-combined
-  *     messages, never per-edge records; a 10^6-in-degree hub receives
-  *     <= P messages (two-phase aggregation, SURVEY.md §7.5). (An
-  *     open-addressing-map variant of this combine measured ~4 GB of
-  *     map churn per iteration at 132M edges — the dense grid layout
-  *     exists to make the combine zero-allocation.)
+  *     the nonzero (idx, sum) pairs as a primitive bundle. The emission
+  *     is a streaming iterator — one dpid's bundle in flight at a time,
+  *     so task heap is bounded by the largest single destination
+  *     partition, not by the partition-reachable vertex count. The
+  *     shuffle moves at most P bundles per source partition —
+  *     pre-combined messages, never per-edge records; a 10^6-in-degree
+  *     hub receives <= P messages (two-phase aggregation, SURVEY.md
+  *     §7.5). (An open-addressing-map variant of this combine measured
+  *     ~4 GB of map churn per iteration at 132M edges — the dense grid
+  *     layout exists to make the combine zero-allocation.)
   *  2. partitionBy(P) on the bundle's dpid — the only shuffle, ~12 bytes
   *     per combined entry (int idx + double sum).
   *  3. zipPartitions(state, bundles): dense-add bundles into a contribs
-  *     array, apply teleport + dangling mass, emit the new state; the
-  *     SAME pass accumulates the L1 delta and next dangling mass into
-  *     accumulators — ONE job, ONE shuffle per iteration total.
-  *     (Accumulator caveat: a re-run task double-counts — that can only
-  *     perturb the convergence *test*, never the rank values.)
+  *     array, apply teleport + dangling mass, emit the new state. The
+  *     L1 delta rides an accumulator in the same job; the dangling mass
+  *     fed into the NEXT iteration's rank formula is computed by a
+  *     DETERMINISTIC fold over the materialized new state (same single
+  *     job triggers it) — a re-executed or speculated task can therefore
+  *     only inflate the convergence-test delta (costing at most an extra
+  *     iteration), never perturb the rank values themselves.
   *
   * RDD usage is forced here: a Dataset `groupByKey(_.partId).cogroup`
   * re-shuffles the static block side EVERY superstep because the lambda
@@ -76,14 +104,34 @@ object CsrPageRank {
   /** Pre-combined messages for one destination partition. */
   final case class MsgBlock(dpid: Int, idx: Array[Int], sums: Array[Double])
 
-  private final class PidPartitioner(p: Int) extends Partitioner {
-    def numPartitions: Int = p
-    def getPartition(key: Any): Int = key.asInstanceOf[(Int, Int, Int, Int)]._1
-    override def equals(o: Any): Boolean = o match {
-      case x: PidPartitioner => x.numPartitions == p
-      case _ => false
+  /** For each pid p in [0,P) an int token with murmur3(token)%P == p —
+    * repartition(P, token) then places pid p in Catalyst shuffle
+    * partition p (Spark hashes an int column with Murmur3_x86_32 seed
+    * 42, exactly HashPartitioning.partitionIdExpression). Driver-side
+    * search; a few hundred probes for any practical P.
+    */
+  private[graph] def partitionTokens(p: Int): Array[Int] = {
+    val toks = new Array[Int](p)
+    val found = new Array[Boolean](p)
+    var remaining = p
+    var t = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(t, 42)
+      val slot = ((h % p) + p) % p
+      if (!found(slot)) { found(slot) = true; toks(slot) = t; remaining -= 1 }
+      t += 1
     }
-    override def hashCode: Int = p
+    toks
+  }
+
+  private final class IntBuf(initial: Int = 64) {
+    private var arr = new Array[Int](initial)
+    var n = 0
+    def add(v: Int): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(n) = v; n += 1
+    }
+    def result(): Array[Int] = java.util.Arrays.copyOf(arr, n)
   }
 
   def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult = {
@@ -94,18 +142,38 @@ object CsrPageRank {
 
     IterationConf.withIterationConf(spark) {
       val prepT0 = System.nanoTime()
+      val toks = partitionTokens(P)
+      def tokOf(idCol: Column): Column =
+        element_at(lit(toks), pmod(idCol, lit(P.toLong)).cast("int") + lit(1))
 
-      // --- vertex state: one VBlock per partition, ids sorted ------------
-      var state: RDD[VBlock] = Adjacency.vertices(edges).rdd
-        .map(v => (pid(v.id, P), v))
-        .partitionBy(part)
+      val edf = edges.toDF // (src, dst)
+
+      // --- 1. vertex state: one combined aggregation + one Tungsten
+      // shuffle+sort, streamed into primitive per-partition arrays -------
+      val vertsDF = edf.select(col("src").as("id"), lit(1).as("c"))
+        .unionAll(edf.select(col("dst").as("id"), lit(0).as("c")))
+        .groupBy(col("id")).agg(sum(col("c")).cast("int").as("outdeg"))
+      var state: RDD[VBlock] = vertsDF
+        .repartition(P, tokOf(col("id")))
+        .sortWithinPartitions(col("id"))
+        .as[(Long, Int)].rdd
         .mapPartitionsWithIndex({ (i, it) =>
-          val vs = it.map(_._2).toArray
-          if (vs.isEmpty) Iterator.empty
-          else {
-            java.util.Arrays.sort(vs, Ordering.by((v: Adjacency.Vertex) => v.id))
-            Iterator.single(VBlock(i, vs.map(_.id), vs.map(_.outdeg), new Array[Double](vs.length)))
+          var cap = 1024
+          var ids = new Array[Long](cap)
+          var od = new Array[Int](cap)
+          var n = 0
+          while (it.hasNext) {
+            val (id, d) = it.next()
+            if (n == cap) {
+              cap *= 2
+              ids = java.util.Arrays.copyOf(ids, cap)
+              od = java.util.Arrays.copyOf(od, cap)
+            }
+            ids(n) = id; od(n) = d; n += 1
           }
+          if (n == 0) Iterator.empty
+          else Iterator.single(VBlock(i,
+            java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(od, n), new Array[Double](n)))
         }, preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val counts = state.map(b => (b.ids.length.toLong, b.outdeg.count(_ == 0).toLong))
@@ -123,55 +191,56 @@ object CsrPageRank {
       }
       val maxPartSize = partSizes.max
 
-      // --- adjacency grid: dst resolved by a pinned zipPartitions, src
-      // resolved during the block build (both ends end up as dense ints) -
-      val byDst: RDD[(Int, (Long, Int))] = edges.rdd // (pid(dst), (src, dst))
-        .map(e => (pid(e.dst, P), (e.src, 0L, e.dst)))
-        .partitionBy(part)
-        .zipPartitions(state, preservesPartitioning = true) { (es, vs) =>
-          vs.toSeq.headOption match {
-            case None => Iterator.empty
-            case Some(vb) =>
-              es.map { case (dp, (src, _, dst)) =>
-                (dp, (src, java.util.Arrays.binarySearch(vb.ids, dst)))
-              }
+      // --- 2. dst-resolve: Catalyst shuffle (no sort) zipped with state -
+      val resolved: RDD[(Long, Int, Int)] = edf.select(col("src"), col("dst"))
+        .repartition(P, tokOf(col("dst")))
+        .as[(Long, Long)].rdd
+        .zipPartitions(state, preservesPartitioning = false) { (es, vs) =>
+          if (!vs.hasNext) Iterator.empty
+          else {
+            val vb = vs.next()
+            val dp = vb.pid
+            es.map { case (src, dst) =>
+              (src, dp, java.util.Arrays.binarySearch(vb.ids, dst))
+            }
           }
         }
-      // key (spid, dpid, src-as-int-pair) sorted externally; partitioned by spid
-      val sortedCells = byDst
-        .map { case (dp, (src, didx)) =>
-          ((pid(src, P), dp, (src >>> 32).toInt, src.toInt), didx)
-        }
-        .repartitionAndSortWithinPartitions(new PidPartitioner(P))
-        .map { case ((sp, dp, hi, lo), didx) => (sp, dp, (hi.toLong << 32) | (lo.toLong & 0xffffffffL), didx) }
+
+      // --- 3. grid build: Tungsten external sort by (dpid, src) within
+      // pid(src) partitions, then one streaming pass emits the cells ----
+      val sortedCells = spark.createDataset(resolved)
+        .repartition(P, tokOf(col("_1")))
+        .sortWithinPartitions(col("_2"), col("_1"))
+        .as[(Long, Int, Int)].rdd
       val blocks: RDD[IdxBlock] = sortedCells
-        .zipPartitions(state, preservesPartitioning = true) { (cells, vs) =>
-          vs.toSeq.headOption match {
-            case None => Iterator.empty
-            case Some(vb) =>
-              val maxEdgesPerBlock = 4 << 20
-              val in = cells.buffered
-              new Iterator[IdxBlock] {
-                def hasNext: Boolean = in.hasNext
-                def next(): IdxBlock = {
-                  val sp = in.head._1
-                  val dp = in.head._2
-                  val sidx = scala.collection.mutable.ArrayBuffer.empty[Int]
-                  val offs = scala.collection.mutable.ArrayBuffer[Int](0)
-                  val nis = scala.collection.mutable.ArrayBuffer.empty[Int]
-                  while (in.hasNext && in.head._2 == dp && nis.length < maxEdgesPerBlock) {
-                    val s = in.head._3
-                    // src's own dense index via binary search in this
-                    // partition's sorted ids (prepare-only cost)
-                    sidx += java.util.Arrays.binarySearch(vb.ids, s)
-                    while (in.hasNext && in.head._2 == dp && in.head._3 == s) {
-                      nis += in.next()._4
-                    }
-                    offs += nis.length
+        .zipPartitions(state, preservesPartitioning = false) { (cells, vs) =>
+          if (!vs.hasNext) Iterator.empty
+          else {
+            val vb = vs.next()
+            val sp = vb.pid
+            val maxEdgesPerBlock = 4 << 20
+            val in = cells.buffered
+            new Iterator[IdxBlock] {
+              def hasNext: Boolean = in.hasNext
+              def next(): IdxBlock = {
+                val dp = in.head._2
+                val sidx = new IntBuf(256)
+                val offs = new IntBuf(256)
+                val nis = new IntBuf(1024)
+                offs.add(0)
+                while (in.hasNext && in.head._2 == dp && nis.n < maxEdgesPerBlock) {
+                  val s = in.head._1
+                  // src's own dense index via binary search in this
+                  // partition's sorted ids (once per group head)
+                  sidx.add(java.util.Arrays.binarySearch(vb.ids, s))
+                  while (in.hasNext && in.head._2 == dp && in.head._1 == s) {
+                    nis.add(in.next()._3)
                   }
-                  IdxBlock(sp, dp, sidx.toArray, offs.toArray, nis.toArray)
+                  offs.add(nis.n)
                 }
+                IdxBlock(sp, dp, sidx.result(), offs.result(), nis.result())
               }
+            }
           }
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -197,52 +266,61 @@ object CsrPageRank {
         val maxSz = maxPartSize
         val msgs: RDD[(Int, MsgBlock)] = blocks
           .zipPartitions(state, preservesPartitioning = false) { (bs, vs) =>
-            vs.toSeq.headOption match {
-              case None => Iterator.empty
-              case Some(vb) =>
-                // one reused dense accumulator; blocks arrive sorted by dpid
-                val contribs = new Array[Double](maxSz)
-                val out = scala.collection.mutable.ArrayBuffer.empty[(Int, MsgBlock)]
-                var curDp = -1
-                def flush(): Unit = if (curDp >= 0) {
-                  val nq = sizes(curDp)
-                  var nz = 0
-                  var i = 0
-                  while (i < nq) { if (contribs(i) != 0.0) nz += 1; i += 1 }
-                  if (nz > 0) {
-                    val idx = new Array[Int](nz)
-                    val sums = new Array[Double](nz)
-                    var w = 0; i = 0
-                    while (i < nq) {
-                      if (contribs(i) != 0.0) { idx(w) = i; sums(w) = contribs(i); w += 1 }
-                      i += 1
+            if (!vs.hasNext) Iterator.empty
+            else {
+              val vb = vs.next()
+              // one reused dense accumulator; blocks arrive sorted by
+              // dpid, so each dpid's bundle is emitted as soon as its
+              // block run ends — only one bundle in flight at a time
+              val contribs = new Array[Double](maxSz)
+              val in = bs.buffered
+              new Iterator[(Int, MsgBlock)] {
+                private var pending: (Int, MsgBlock) = _
+                private def advance(): Unit = {
+                  while (pending == null && in.hasNext) {
+                    val dp = in.head.dpid
+                    while (in.hasNext && in.head.dpid == dp) {
+                      val b = in.next()
+                      var i = 0
+                      while (i < b.srcIdx.length) {
+                        val si = b.srcIdx(i)
+                        val od = vb.outdeg(si)
+                        if (od > 0) {
+                          val w = vb.ranks(si) / od
+                          var j = b.offsets(i)
+                          while (j < b.offsets(i + 1)) { contribs(b.nbrIdx(j)) += w; j += 1 }
+                        }
+                        i += 1
+                      }
                     }
-                    out += ((curDp, MsgBlock(curDp, idx, sums)))
-                  }
-                  java.util.Arrays.fill(contribs, 0, nq, 0.0)
-                }
-                bs.foreach { b =>
-                  if (b.dpid != curDp) { flush(); curDp = b.dpid }
-                  var i = 0
-                  while (i < b.srcIdx.length) {
-                    val si = b.srcIdx(i)
-                    val od = vb.outdeg(si)
-                    if (od > 0) {
-                      val w = vb.ranks(si) / od
-                      var j = b.offsets(i)
-                      while (j < b.offsets(i + 1)) { contribs(b.nbrIdx(j)) += w; j += 1 }
+                    val nq = sizes(dp)
+                    var nz = 0
+                    var i = 0
+                    while (i < nq) { if (contribs(i) != 0.0) nz += 1; i += 1 }
+                    if (nz > 0) {
+                      val idx = new Array[Int](nz)
+                      val sums = new Array[Double](nz)
+                      var w = 0; i = 0
+                      while (i < nq) {
+                        if (contribs(i) != 0.0) { idx(w) = i; sums(w) = contribs(i); w += 1 }
+                        i += 1
+                      }
+                      pending = (dp, MsgBlock(dp, idx, sums))
                     }
-                    i += 1
+                    java.util.Arrays.fill(contribs, 0, nq, 0.0)
                   }
                 }
-                flush()
-                out.iterator
+                def hasNext: Boolean = { advance(); pending != null }
+                def next(): (Int, MsgBlock) = {
+                  advance()
+                  val r = pending; pending = null; r
+                }
+              }
             }
           }
           .partitionBy(part) // the single per-iteration shuffle
 
         val deltaAcc = sc.doubleAccumulator(s"l1_delta_iter_$iter")
-        val danglingAcc = sc.doubleAccumulator(s"dangling_iter_$iter")
         val newState: RDD[VBlock] = state
           .zipPartitions(msgs, preservesPartitioning = true) { (vs, ms) =>
             vs.map { vb =>
@@ -255,24 +333,34 @@ object CsrPageRank {
               }
               val newRanks = new Array[Double](vb.ids.length)
               var delta = 0.0
-              var dang = 0.0
               var k = 0
               while (k < vb.ids.length) {
                 val r = (1.0 - alpha) / nn + alpha * (contribs(k) + d / nn)
                 delta += math.abs(r - vb.ranks(k))
-                if (vb.outdeg(k) == 0) dang += r
                 newRanks(k) = r
                 k += 1
               }
               deltaAcc.add(delta)
-              danglingAcc.add(dang)
               vb.copy(ranks = newRanks) // ids/outdeg shared by reference
             }
           }
-        materialize(newState) // the ONE job: msg stage + state stage
+        // ONE job per iteration: the dangling fold both materializes the
+        // new state (persist + localCheckpoint) and computes the next
+        // iteration's dangling mass DETERMINISTICALLY from it — unlike an
+        // accumulator, a re-run task cannot double-count into the ranks.
+        newState.persist(StorageLevel.MEMORY_AND_DISK)
+        newState.localCheckpoint()
+        dangling = newState.map { vb =>
+          var s = 0.0
+          var k = 0
+          while (k < vb.ids.length) { if (vb.outdeg(k) == 0) s += vb.ranks(k); k += 1 }
+          s
+        }.fold(0.0)(_ + _)
 
+        // accumulator delta gates CONVERGENCE only: a duplicated task
+        // update can only inflate it (delta terms are >= 0), i.e. cost at
+        // most an extra iteration — never perturb the rank values.
         val delta = deltaAcc.value.doubleValue()
-        dangling = danglingAcc.value.doubleValue()
         deltas :+= delta
         state.unpersist(false)
         state = newState

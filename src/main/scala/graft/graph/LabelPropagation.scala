@@ -65,11 +65,16 @@ object LabelPropagation {
 
     val verts = bidir.select(col("u").as("id")).distinct()
       .repartition(P, col("id")).persist(StorageLevel.MEMORY_AND_DISK)
-    verts.count()
+    val nVerts = verts.count()
+    // Loop shuffles sized to the loop data (see IterationConf
+    // .sizedPartitions): a 20k-vertex graph must not pay P empty tasks
+    // per stage per round. At scale Pr == P and nothing changes.
+    val Pr = graft.core.IterationConf.sizedPartitions(P, nVerts)
+    spark.conf.set("spark.sql.shuffle.partitions", Pr)
 
     var labels = labels0
       .getOrElse(verts.select(col("id"), col("id").as("label")))
-      .repartition(P, col("id"))
+      .repartition(Pr, col("id"))
       .localCheckpoint(true)
 
     var iter = iter0
@@ -96,7 +101,7 @@ object LabelPropagation {
       val newLabels = labels
         .join(picked, Seq("id"), "left")
         .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
-        .repartition(P, col("id"))
+        .repartition(Pr, col("id"))
         .localCheckpoint(true)
 
       val changed = newLabels
@@ -116,7 +121,7 @@ object LabelPropagation {
           labels = Supersteps.commit(spark, runDir, iter, labels,
             Map("iter" -> iter.toDouble, "changed" -> changed.toDouble,
               "converged" -> (if (converged) 1.0 else 0.0)))
-            .repartition(P, col("id"))
+            .repartition(Pr, col("id"))
             .localCheckpoint(true)
           before.queryExecution.analyzed.collectFirst {
             case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd

@@ -68,14 +68,20 @@ object Embedding {
   ): DataFrame =
     docs.select(col(idCol).as("id"), embed(col(textCol), dims, seed).as("embedding"))
 
-  /** Cosine similarity of two array<double> columns; 0.0 when either norm
-    * is 0 (reference cos_sim convention, extract_link_features.py:184-187).
+  /** Cosine similarity of two array<double> columns. A zero-norm side
+    * (e.g. a doc whose token set is empty) yields NaN — the observable
+    * behavior of the reference's cos_sim, which divides by the norm
+    * product unconditionally (extract_link_features.py:182-186, numpy
+    * 0/0 -> np.nan); the downstream scorer imputes the NaN to -2
+    * (LinkProb.imputed) just as the reference's SimpleImputer does.
+    * (Spark 4 ANSI mode makes a literal 0/0 an error, so the NaN is
+    * emitted explicitly.) Rank-ordering paths that need a total order
+    * should use Similarity.cosine (0.0 guard).
     */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    val na = dot(a, a)
-    val nb = dot(b, b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / sqrt(na * nb))
+    val normProd = sqrt(dot(a, a) * dot(b, b))
+    when(normProd === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / normProd)
   }
 }

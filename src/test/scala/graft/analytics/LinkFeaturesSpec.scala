@@ -161,7 +161,7 @@ class EmbeddingSpec extends SparkSpec {
     assert(math.abs(out(2L)(1) - 2 * out(1L)(1)) < 1e-12)
   }
 
-  test("cosine: 0 on zero vectors, 1 on parallel, handles opposite sign") {
+  test("cosine: NaN on zero vectors (reference cos_sim), 1 on parallel, opposite sign") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(2.0, 0.0)),
       (Seq(1.0, 2.0), Seq(-1.0, -2.0)),
@@ -170,6 +170,11 @@ class EmbeddingSpec extends SparkSpec {
     val vals = df.select(Embedding.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
     assert(math.abs(vals(0) - 1.0) < 1e-12)
     assert(math.abs(vals(1) + 1.0) < 1e-12)
-    assert(vals(2) == 0.0)
+    // reference cos_sim has no zero guard: numpy 0/0 -> nan, which the
+    // scorer's -2 imputation then absorbs (LinkProb.imputed)
+    assert(vals(2).isNaN)
+    val imputed = df.select(graft.analytics.LinkProb.imputed(
+      Embedding.cosine(col("a"), col("b")))).collect().map(_.getDouble(0))
+    assert(imputed(2) == -2.0)
   }
 }
