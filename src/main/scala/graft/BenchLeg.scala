@@ -37,18 +37,29 @@ object BenchLeg {
     val s = Sessions.local(cores, s"graft-bench-leg-$cores")
     try {
       val edges = s.read.parquet(path).as[Edge]
-      edges.count() // parquet footers outside the timer
-      // JIT warm-up through the same code paths on a small prefix (a full
-      // warm run would double the leg's wall time for no extra signal)
-      CsrPageRank.run(edges.limit(2000000),
+      edges.count() // parquet footers + page cache outside the timer
+      // Full-size warm run (prepare + 2 iters): JIT-compiles the real
+      // loop shapes and settles GC before anything is timed — a prefix
+      // warm-up left the short large-core leg ~15% noisy run to run.
+      CsrPageRank.run(edges,
         PageRankConfig(tol = 0.0, maxIter = 2, checkpoint = LocalOnly()))
-      val t0 = System.nanoTime()
-      val r = CsrPageRank.run(edges,
-        PageRankConfig(tol = 0.0, maxIter = iters, checkpoint = LocalOnly()))
-      val secs = (System.nanoTime() - t0) / 1e9
+      // Timed runs (default 1; Bench forks each leg twice in alternating
+      // order instead — time-separated windows beat back-to-back repeats
+      // against bursty co-tenant load); report the fastest (noise-floor
+      // protocol: the gate is a property of the code, not of scheduler
+      // luck on a shared box).
+      val timedRuns = if (args.length > 4) args(4).toInt else 1
+      val runs = (1 to timedRuns).map { _ =>
+        val t0 = System.nanoTime()
+        val r = CsrPageRank.run(edges,
+          PageRankConfig(tol = 0.0, maxIter = iters, checkpoint = LocalOnly()))
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val (secs, r) = runs.minBy(_._1)
       println(
         s"""{"cores":$cores,"t_sec":${"%.2f".format(secs)},"prepare_sec":${"%.2f".format(r.prepareSeconds)},""" +
-        s""""loop_sec":${"%.2f".format(r.loopSeconds)},"edges":${r.edgeCount}}""")
+        s""""loop_sec":${"%.2f".format(r.loopSeconds)},"edges":${r.edgeCount},"timed_runs":${runs.length},""" +
+        s""""all_t_sec":[${runs.map(x => "%.2f".format(x._1)).mkString(",")}]}""")
     } finally s.stop()
   }
 }

@@ -137,11 +137,17 @@ object CsrPageRank {
   def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val part = new HashPartitioner(P) // Int keys in [0,P): partition index == pid
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     IterationConf.withIterationConf(spark) {
       val prepT0 = System.nanoTime()
+      // Grid dimension sized to the edge set (parquet-backed inputs
+      // answer count() from footer statistics; derived ones pay one
+      // extra derivation, far cheaper than tens of near-empty-task
+      // supersteps on a small graph). Restored by withIterationConf.
+      val P = IterationConf.sizedPartitions(sessionParts, math.max(edges.toDF.count(), 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", P)
+      val part = new HashPartitioner(P) // Int keys in [0,P): partition index == pid
       val toks = partitionTokens(P)
       def tokOf(idCol: Column): Column =
         element_at(lit(toks), pmod(idCol, lit(P.toLong)).cast("int") + lit(1))

@@ -55,22 +55,26 @@ object LabelPropagation {
     val spark = edges.sparkSession
     val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val bidir = edges.toDF
+    val bidir0 = edges.toDF
       .select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v"))
       .union(edges.toDF.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-      .repartition(P, col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val verts = bidir.select(col("u").as("id")).distinct()
-      .repartition(P, col("id")).persist(StorageLevel.MEMORY_AND_DISK)
-    val nVerts = verts.count()
-    // Loop shuffles sized to the loop data (see IterationConf
-    // .sizedPartitions): a 20k-vertex graph must not pay P empty tasks
-    // per stage per round. At scale Pr == P and nothing changes.
-    val Pr = graft.core.IterationConf.sizedPartitions(P, nVerts)
+    val nEdges = bidir0.count()
+    // Loop shuffles AND the cached bidir adjacency sized to the loop
+    // data (see IterationConf.sizedPartitions): a 20k-vertex graph must
+    // not pay P near-empty tasks per stage per round — the cached join
+    // side's partition count sets the scan-stage task count every
+    // iteration. At scale Pr == P and nothing changes.
+    val Pr = graft.core.IterationConf.sizedPartitions(P, nEdges)
     spark.conf.set("spark.sql.shuffle.partitions", Pr)
+    val bidir = bidir0.repartition(Pr, col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = bidir.select(col("u").as("id")).distinct()
+      .repartition(Pr, col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count()
+    bidir0.unpersist(false)
 
     var labels = labels0
       .getOrElse(verts.select(col("id"), col("id").as("label")))

@@ -72,38 +72,49 @@ object PageRank {
   private def prepare(edges: Dataset[Edge]): Prepared = {
     val spark = edges.sparkSession
     val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e0 = edges.toDF.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    // Loop shuffles/caches sized to the loop data, not the session
+    // default (IterationConf.sizedPartitions): tens of supersteps over a
+    // small graph must not pay P near-empty tasks per stage each. The
+    // caller (run/resume) wraps in withIterationConf, which restores the
+    // session's shuffle.partitions afterwards. At scale Pr == P.
+    val Pr = graft.core.IterationConf.sizedPartitions(P, math.max(m, 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", Pr)
     // Cached PRE-SORTED on the join keys: InMemoryRelation preserves
     // outputOrdering, so the per-iteration sort-merge joins skip their
     // Sort on the big (edge) side every iteration.
-    val e = edges.toDF
-      .select(col("src"), col("dst"))
-      .repartition(P, col("src"))
+    val e = e0
+      .repartition(Pr, col("src"))
       .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val m = e.count()
+    e.count()
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val vdeg = verts
       .join(outdeg, Seq("id"), "left")
       .na.fill(0, Seq("outdeg"))
-      .repartition(P, col("id"))
+      .repartition(Pr, col("id"))
       .sortWithinPartitions("id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vdeg.count()
     val danglingCount = vdeg.filter(col("outdeg") === 0).count()
-    Prepared(e, vdeg, n, m, P, danglingCount)
+    e0.unpersist(false)
+    Prepared(e, vdeg, n, m, Pr, danglingCount)
   }
 
-  def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult = {
-    val t0 = System.nanoTime()
-    val g = prepare(edges)
-    val prepSecs = (System.nanoTime() - t0) / 1e9
-    if (g.n == 0)
-      return PageRankResult(edges.sparkSession.emptyDataFrame, 0, converged = true, Nil, 0L, 0L)
-    val ranks0 = g.vdeg.select(col("id"), lit(1.0 / g.n).as("rank"))
-    iterate(g, ranks0, 0, cfg, initialDangling = Some(g.danglingCount.toDouble / g.n))
-      .copy(prepareSeconds = prepSecs)
-  }
+  def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult =
+    graft.core.IterationConf.withIterationConf(edges.sparkSession) {
+      val t0 = System.nanoTime()
+      val g = prepare(edges)
+      val prepSecs = (System.nanoTime() - t0) / 1e9
+      if (g.n == 0)
+        return PageRankResult(edges.sparkSession.emptyDataFrame, 0, converged = true, Nil, 0L, 0L)
+      val ranks0 = g.vdeg.select(col("id"), lit(1.0 / g.n).as("rank"))
+      iterate(g, ranks0, 0, cfg, initialDangling = Some(g.danglingCount.toDouble / g.n))
+        .copy(prepareSeconds = prepSecs)
+    }
 
   /** Resume from the last committed superstep in runDir (or start fresh
     * if none). Final state is identical to an uninterrupted run because
@@ -125,7 +136,7 @@ object PageRank {
           val delta = "\"l1_delta\":([0-9.eE+-]+)".r
             .findFirstMatchIn(metrics).map(_.group(1).toDouble).getOrElse(0.0)
           PageRankResult(state, step, converged = true, Seq(delta), -1L, state.count())
-        } else {
+        } else graft.core.IterationConf.withIterationConf(spark) {
           val g = prepare(edges)
           iterate(g, state, step, durableCfg)
         }
