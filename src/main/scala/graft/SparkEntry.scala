@@ -902,7 +902,7 @@ object SparkEntry {
           SELECT pa.authorID, pa.authorOrder, p.year, CAST(count(*) AS DOUBLE) AS cnt
           FROM pa JOIN papers p USING (paperID) GROUP BY 1, 2, 3),
         pcnt AS (SELECT authorID, year, sum(cnt) AS c FROM pjoined GROUP BY 1, 2),
-        wcnt AS (SELECT authorID, year, sum(cnt / authorOrder) AS c FROM pjoined
+        wcnt AS (SELECT authorID, year, sum(cnt * 6 / authorOrder) / 6 AS c FROM pjoined
                  WHERE authorOrder <= $MinStudentAuthorOrder GROUP BY 1, 2),
         codist AS MATERIALIZED (
           SELECT DISTINCT fp.authorID_first, fp.authorID, pa1.paperID, pa1.authorOrder, p.year
@@ -914,7 +914,7 @@ object SparkEntry {
           WHERE pa1.authorOrder < pa2.authorOrder),
         cojoined AS (SELECT authorID_first, authorID, authorOrder, year, CAST(count(*) AS DOUBLE) AS cnt
                      FROM codist GROUP BY 1, 2, 3, 4),
-        cow AS (SELECT authorID_first, authorID, year, sum(cnt / authorOrder) AS c FROM cojoined GROUP BY 1, 2, 3),
+        cow AS (SELECT authorID_first, authorID, year, sum(cnt * 6 / authorOrder) / 6 AS c FROM cojoined GROUP BY 1, 2, 3),
         cop AS (SELECT authorID_first, authorID, year, sum(cnt) AS c FROM cojoined GROUP BY 1, 2, 3),
         sylist AS (SELECT authorID, list_sort(list_distinct(list(year))) AS years
                    FROM (SELECT pa.authorID, p.year FROM pa JOIN papers p USING (paperID))

@@ -179,10 +179,15 @@ object KeyPapers {
       .agg(sum("cnt").as("c"))
       .groupBy(col("authorID"))
       .agg(map_from_entries(collect_list(struct(col("year"), col("c")))).as("paperCountMap"))
+    // Weighted counts are summed in SIXTHS (cnt*6/authorOrder is an exact
+    // integer for authorOrder <= 3) and divided once: a float sum of
+    // 1/3s is shuffle-order-dependent in its last ulp, and supervisorRate
+    // TRUNCATES running sums of these values — a near-integer sum would
+    // otherwise flip a decay modifier with the partition count.
     val weighted = joined
       .filter(col("authorOrder") <= MinStudentAuthorOrder)
       .groupBy(col("authorID"), col("year"))
-      .agg(sum(col("cnt") / col("authorOrder")).as("c"))
+      .agg((sum(col("cnt") * lit(6.0) / col("authorOrder")) / lit(6.0)).as("c"))
       .groupBy(col("authorID"))
       .agg(map_from_entries(collect_list(struct(col("year"), col("c")))).as("weightedPaperCountMap"))
     (plain, weighted)
@@ -206,9 +211,9 @@ object KeyPapers {
       .distinct()
       .groupBy(col("authorID_first"), col("authorID"), col("authorOrder"), col("year"))
       .agg(count(lit(1)).cast("double").as("cnt"))
-    val weighted = joined
+    val weighted = joined // exact-sixths sum: see paperCountMaps
       .groupBy(col("authorID_first"), col("authorID"), col("year"))
-      .agg(sum(col("cnt") / col("authorOrder")).as("c"))
+      .agg((sum(col("cnt") * lit(6.0) / col("authorOrder")) / lit(6.0)).as("c"))
       .groupBy(col("authorID_first"), col("authorID"))
       .agg(map_from_entries(collect_list(struct(col("year"), col("c")))).as("coWeightedPaperCountMap"))
     val plain = joined
