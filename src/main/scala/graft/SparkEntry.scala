@@ -463,6 +463,19 @@ object SparkEntry {
         round(avg(v), 6).as("mean"),
         round(var_samp(v), 6).as("variance"),
         round(expr("percentile(round(isKeyPaper, 6), 0.5)"), 6).as("median"))
+    }),
+    // --- S5: keyed upsert (REPLACE INTO analog) through the atomic version-pointer commit, read back through the pointer -------------
+    "q_upsert" -> ((s, d) => {
+      val dir = s"/tmp/graft_upsert_${new java.io.File(d).getName}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true) // fresh table each run
+      val base = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      sources.TableUpsert.upsert(s, dir, base, Seq("doc_id"))
+      val updates = t(s, d, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("n_chars") + 1000).as("n_chars"))
+      sources.TableUpsert.upsert(s, dir, updates, Seq("doc_id"))
+      sources.TableUpsert.read(s, dir).get
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("total_chars"))
     })
   )
 
@@ -1003,6 +1016,10 @@ object SparkEntry {
     "q_export_graph" -> exportGraphOracle,
     "q_key_papers" -> keyPapersOracle,
     "q_key_papers_dist" -> keyPapersDistOracle,
+    "q_upsert" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS total_chars
+         FROM documents""",
     "q_abstract_merge" ->
       """WITH abs AS (SELECT doc_id % 100 AS paperID,
            CASE WHEN doc_id % 3 = 0 THEN concat('Abstract ', text) ELSE text END AS abstract
