@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.ingest.{Edge, EdgeExtraction}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming ingest: the batch edge-derivation semantics
+  * (ingest.EdgeExtraction) over an UNBOUNDED corpus stream — the shape a
+  * continuously-crawled corpus lands in (`readStream` over a landing
+  * directory → these transforms → `writeStream`).
+  *
+  * Design:
+  *  - the per-language reference explode is stateless, so the exact
+  *    batch projection/generator is reused verbatim;
+  *  - resolution is a STREAM-STATIC join against a broadcast module
+  *    dimension snapshot (unbounded-state stream-stream joins are never
+  *    needed: module definitions change slowly and a snapshot refresh is
+  *    a restart with the same checkpoint);
+  *  - event-time analytics use watermarked windowed aggregation (late
+  *    rows beyond the watermark are dropped deterministically);
+  *  - running per-source totals keep custom state via
+  *    mapGroupsWithState — O(#distinct sources) state, each group a
+  *    single long.
+  *
+  * Every operator here is checkpointable through the engine's normal
+  * `writeStream.option("checkpointLocation", ...)` path; resume
+  * semantics come from Spark's offset/state store, complementing the
+  * batch engine's Supersteps commits.
+  */
+object EdgeStream {
+
+  /** Unresolved (src, ref_module) reference stream — stateless. */
+  def references(corpusStream: DataFrame): DataFrame =
+    EdgeExtraction.references(corpusStream)
+
+  /** Resolved edge stream via the broadcast module-dimension snapshot.
+    * Append-mode safe: no streaming state at all.
+    */
+  def edges(corpusStream: DataFrame, moduleDim: DataFrame): DataFrame =
+    references(corpusStream)
+      .join(broadcast(moduleDim), col("ref_module") === col("module"))
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  /** Edge arrivals per (event-time window, dst): watermarked windowed
+    * aggregation — the streaming twin of the in-degree histogram. Rows
+    * later than `lateness` past the watermark are dropped.
+    */
+  def windowedInDegree(
+      edgesWithTime: DataFrame,
+      windowLength: String = "10 minutes",
+      lateness: String = "5 minutes"
+  ): DataFrame =
+    edgesWithTime
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("dst"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Cumulative out-degree per source across ALL batches so far —
+    * explicit keyed state via mapGroupsWithState (update output mode).
+    * State is one long per distinct source; a TTL would ride
+    * GroupStateTimeout if sources expire.
+    */
+  def cumulativeOutDegree(edges: Dataset[Edge]): Dataset[(Long, Long)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges
+      .groupByKey(_.src)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (src: Long, rows: Iterator[Edge], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (src, total)
+      }
+  }
+}

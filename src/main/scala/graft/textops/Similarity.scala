@@ -106,6 +106,65 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-Flat approximate top-k (the other classic ANN scale path next
+    * to LSH; public precedent: inverted-file indexes, FAISS IVF /
+    * Jégou et al. 2011): a coarse k-means quantizer over the L2-
+    * normalized corpus partitions vectors into `nlist` cells; each query
+    * probes only its `nprobe` nearest cells and exact-cosine re-ranks
+    * the candidates. Normalizing first makes L2 cells consistent with
+    * the cosine metric (spherical k-means).
+    *
+    * Scale: the quantizer fits on a sample-sized problem (nlist
+    * centroids); assignment is one broadcast-literal projection over the
+    * corpus; search shuffles only by cell id, so each query touches
+    * ~nprobe/nlist of the corpus instead of all of it. Recall < 1 by
+    * construction — raise nprobe to trade cost for recall.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.linalg.Vectors
+    require(nprobe <= nlist)
+    val toUnitVec = udf { a: Seq[Float] =>
+      val d = a.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      Vectors.dense(if (n == 0) d else d.map(_ / n))
+    }
+    val feats = corpus.withColumn("features", toUnitVec(col("embedding")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(20).fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("embedding").as("c_emb"), col("prediction").as("cell"))
+
+    // query -> its nprobe nearest cells, via a broadcast centroid literal
+    val cents = model.clusterCenters
+    val centCols = cents.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.toArray.map(lit): _*)
+      val qn = sqrt(aggregate(transform(col("q_unit"), x => x * x), lit(0.0d), (a, v) => a + v))
+      val dot = aggregate(zip_with(col("q_unit"), cl, (x, y) => x * y), lit(0.0d), (a, v) => a + v)
+      // distance on the unit sphere is monotone in -cosine
+      struct((-dot / when(qn === 0, 1.0).otherwise(qn)).as("d"), lit(i).as("cell"))
+    }
+    val w = Window.partitionBy(col("query_id")).orderBy(col("probe.d"), col("probe.cell"))
+    val qcells = queries
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        col("embedding").cast("array<double>").as("q_unit"))
+      .select(col("query_id"), col("q_emb"), explode(array(centCols: _*)).as("probe"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
+
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned.join(qcells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb").cast("array<double>"), col("c_emb").cast("array<double>")).as("cosine"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine >= threshold), found
     * via the LSH bucket join, exact-verified. (a < b).
     */

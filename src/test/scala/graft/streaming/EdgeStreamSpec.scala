@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ingest.Edge
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streamed file event — the corpus-contract columns the stateless
+  * transforms touch, plus an event time.
+  */
+case class FileEvent(file_id: Long, path: String, lang: String, content: String,
+                     ts: java.sql.Timestamp)
+
+/** A resolved edge with its arrival event time. */
+case class EdgeEvent(src: Long, dst: Long, ts: java.sql.Timestamp)
+
+class EdgeStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tsAt(minute: Int) =
+    java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val dim = Seq(("mod_1", 100L), ("mod_2", 200L)).toSeq
+
+  test("stream-static resolution emits the same edges as the batch derivation, per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FileEvent]
+    val moduleDim = dim.toDF("module", "dst")
+    val q = EdgeStream.edges(mem.toDF(), moduleDim)
+      .writeStream.format("memory").queryName("es_edges").outputMode("append").start()
+    try {
+      mem.addData(
+        FileEvent(1L, "src/a/A.scala", "scala", "import graftmod.Mod_1", tsAt(0)),
+        FileEvent(2L, "src/b/B.py", "py", "from graftmod import mod_2", tsAt(1)),
+        FileEvent(100L, "src/m/Mod_1.scala", "scala", "import graftmod.Mod_1", tsAt(2)))
+      q.processAllAvailable()
+      val got = spark.table("es_edges").as[(Long, Long)].collect().toSet
+      // file 100 references mod_1 which IT defines -> self-loop dropped
+      assert(got == Set((1L, 100L), (2L, 200L)))
+      // second micro-batch appends incrementally
+      mem.addData(FileEvent(3L, "src/c/C.c", "c", "#include \"mod_2.h\"", tsAt(3)))
+      q.processAllAvailable()
+      assert(spark.table("es_edges").as[(Long, Long)].collect().toSet ==
+        Set((1L, 100L), (2L, 200L), (3L, 200L)))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed in-degree counts per event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EdgeEvent]
+    val q = EdgeStream.windowedInDegree(mem.toDF(), windowLength = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("es_win").outputMode("update").start()
+    try {
+      mem.addData(
+        EdgeEvent(1L, 100L, tsAt(0)),
+        EdgeEvent(2L, 100L, tsAt(5)),
+        EdgeEvent(3L, 200L, tsAt(12)))
+      q.processAllAvailable()
+      val got = spark.table("es_win")
+        .select(col("window.start").cast("string"), col("dst"), col("n"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got.contains(("2026-01-01 10:00:00", 100L, 2L)), s"got $got")
+      assert(got.contains(("2026-01-01 10:10:00", 200L, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: cumulative out-degree accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Edge]
+    val q = EdgeStream.cumulativeOutDegree(mem.toDS())
+      .toDF("src", "total")
+      .writeStream.format("memory").queryName("es_state").outputMode("update").start()
+    try {
+      mem.addData(Edge(1L, 10L), Edge(1L, 11L), Edge(2L, 10L))
+      q.processAllAvailable()
+      def totals = spark.table("es_state").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(totals == Map(1L -> 2L, 2L -> 1L))
+      mem.addData(Edge(1L, 12L))
+      q.processAllAvailable()
+      assert(totals == Map(1L -> 3L, 2L -> 1L)) // state carried, not recounted
+    } finally q.stop()
+  }
+}

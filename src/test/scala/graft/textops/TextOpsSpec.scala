@@ -107,6 +107,40 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall $recall suspiciously low")
   }
 
+  test("IVF top-k: probed-cell candidates re-ranked exactly; recall sane on the real table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.ivfTopK(emb, queries, 3, nlist = 8, nprobe = 3)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = (0L until 5L).map { q =>
+      val e = exact.getOrElse(q, Set.empty)
+      if (e.isEmpty) 1.0 else approx.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+    }.sum / 5
+    assert(recall >= 0.4, s"IVF recall $recall suspiciously low")
+  }
+
+  test("IVF top-k: clustered data, query's own cluster is always found with nprobe=1") {
+    // 4 well-separated unit-axis clusters in 8-d, 10 members each
+    val rows = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val v = Array.fill(8)(0.01f * ((c * 10 + j) % 3))
+      v(c * 2) = 1.0f
+      ((c * 10 + j).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 10 === 0) // one per cluster
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.ivfTopK(emb, queries, k = 3, nlist = 4, nprobe = 1)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    for ((q, ids) <- got) {
+      assert(ids.size == 3)
+      // neighbors come from the query's own cluster (same decade of ids)
+      assert(ids.forall(id => id / 10 == q / 10), s"query $q got cross-cluster $ids")
+    }
+  }
+
   test("embedding near-dup pairs: planted duplicate found") {
     val base = Seq.tabulate(8)(i => i.toFloat / 10)
     val d = Seq(
