@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * `MERGE INTO` drops in when its runtime jar is on the classpath).
   *
   * Scale: one shuffle (the anti join on the key); the update side is
-  * broadcast when small. No driver-side row handling.
+  * broadcast when small. No driver-side row handling. Each commit
+  * rewrites the table's data files — correct at any size, but at
+  * 100 TB the table should be partitioned by a key prefix so only the
+  * partitions the update batch touches are merged and re-pointed (or
+  * the Iceberg MERGE INTO seam above takes over and rewrites per-file).
   */
 object TableUpsert {
 
