@@ -86,7 +86,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object CsrPageRank {
 
-  import Adjacency.pid
+
 
   /** One partition's vertex state: parallel arrays sorted by id. */
   final case class VBlock(pid: Int, ids: Array[Long], outdeg: Array[Int], ranks: Array[Double])
@@ -380,18 +380,34 @@ object CsrPageRank {
                 .toDF("id", "rank", "outdeg"),
               Map("l1_delta" -> delta, "n_vertices" -> n.toDouble, "n_edges" -> m.toDouble,
                 "dangling_mass" -> dangling, "converged" -> (if (converged) 1.0 else 0.0)))
+            // same Catalyst shuffle+sort technique as the prepare: token
+            // placement puts pid p in partition p, the Tungsten sort
+            // streams into primitive arrays (no boxed-tuple RDD sort)
             val reread = committed
               .select(col("id"), col("rank"), col("outdeg"))
+              .repartition(P, tokOf(col("id")))
+              .sortWithinPartitions(col("id"))
               .as[(Long, Double, Int)].rdd
-              .map(t => (pid(t._1, P), t))
-              .partitionBy(part)
               .mapPartitionsWithIndex({ (i, it) =>
-                val vs = it.map(_._2).toArray
-                if (vs.isEmpty) Iterator.empty
-                else {
-                  java.util.Arrays.sort(vs, Ordering.by((t: (Long, Double, Int)) => t._1))
-                  Iterator.single(VBlock(i, vs.map(_._1), vs.map(_._3), vs.map(_._2)))
+                var cap = 1024
+                var ids = new Array[Long](cap)
+                var rks = new Array[Double](cap)
+                var od = new Array[Int](cap)
+                var k = 0
+                while (it.hasNext) {
+                  val (id, r, d) = it.next()
+                  if (k == cap) {
+                    cap *= 2
+                    ids = java.util.Arrays.copyOf(ids, cap)
+                    rks = java.util.Arrays.copyOf(rks, cap)
+                    od = java.util.Arrays.copyOf(od, cap)
+                  }
+                  ids(k) = id; rks(k) = r; od(k) = d; k += 1
                 }
+                if (k == 0) Iterator.empty
+                else Iterator.single(VBlock(i,
+                  java.util.Arrays.copyOf(ids, k), java.util.Arrays.copyOf(od, k),
+                  java.util.Arrays.copyOf(rks, k)))
               }, preservesPartitioning = true)
             materialize(reread)
             state.unpersist(false)

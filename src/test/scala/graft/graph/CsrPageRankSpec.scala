@@ -30,6 +30,21 @@ class CsrPageRankSpec extends SparkSpec {
     }
   }
 
+  test("durable checkpoints: mid-run parquet round-trip leaves the trajectory bit-identical") {
+    val edges = Oracles.randomGraph(200, 900, seed = 7)
+    val ds = edges.toDF("src", "dst").as[Edge]
+    val runDir = java.nio.file.Files.createTempDirectory("graft-csr-durable").toString
+    // every=3 forces TWO mid-run reread swaps before the final commit
+    val durable = CsrPageRank.run(ds,
+      PageRankConfig(tol = 0.0, maxIter = 9, checkpoint = Durable(runDir, every = 3)))
+    val local = CsrPageRank.run(ds, fixed(9))
+    assert(toMap(durable) == toMap(local), "reread state perturbed the ranks")
+    assert(Supersteps.lastCommitted(spark, runDir).contains(9))
+    val committed = Supersteps.readState(spark, runDir, 9)
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(committed == toMap(durable), "committed snapshot differs from the final state")
+  }
+
   test("block size cap splits partitions by edge count") {
     val edges = (0L until 50L).flatMap(i => (0L until 20L).map(j => (i, 1000 + j)))
     val ds = edges.toDF("src", "dst").as[Edge]
