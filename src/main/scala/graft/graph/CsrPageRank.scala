@@ -134,7 +134,39 @@ object CsrPageRank {
     def result(): Array[Int] = java.util.Arrays.copyOf(arr, n)
   }
 
-  def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult = {
+  def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult =
+    runImpl(edges, cfg, None)
+
+  /** Resume from the last committed superstep in runDir (fresh durable
+    * run if none). The committed (id, rank, outdeg) snapshot is the
+    * complete iteration state: the grid is rebuilt from the edges, the
+    * vertex blocks from the snapshot, and the continuation is
+    * bit-identical to an uninterrupted run (see CsrPageRankSpec).
+    */
+  def resume(edges: Dataset[Edge], runDir: String,
+             cfg: PageRankConfig = PageRankConfig()): PageRankResult = {
+    val spark = edges.sparkSession
+    val durableCfg = cfg.checkpoint match {
+      case _: Durable => cfg
+      case _          => cfg.copy(checkpoint = Durable(runDir, 1))
+    }
+    Supersteps.lastCommitted(spark, runDir) match {
+      case None => runImpl(edges, durableCfg, None)
+      case Some(step) =>
+        val snap = Supersteps.readState(spark, runDir, step)
+        val metrics = Supersteps.readMetrics(spark, runDir, step)
+        if (metrics.contains("\"converged\":1.0")) {
+          val delta = "\"l1_delta\":([0-9.eE+-]+)".r
+            .findFirstMatchIn(metrics).map(_.group(1).toDouble).getOrElse(0.0)
+          PageRankResult(snap.select(col("id"), col("rank")), step, converged = true,
+            Seq(delta), -1L, snap.count())
+        } else runImpl(edges, durableCfg, Some((snap, step)))
+    }
+  }
+
+  private def runImpl(
+      edges: Dataset[Edge], cfg: PageRankConfig,
+      initialState: Option[(org.apache.spark.sql.DataFrame, Int)]): PageRankResult = {
     val spark = edges.sparkSession
     import spark.implicits._
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -155,31 +187,42 @@ object CsrPageRank {
       val edf = edges.toDF // (src, dst)
 
       // --- 1. vertex state: one combined aggregation + one Tungsten
-      // shuffle+sort, streamed into primitive per-partition arrays -------
-      val vertsDF = edf.select(col("src").as("id"), lit(1).as("c"))
-        .unionAll(edf.select(col("dst").as("id"), lit(0).as("c")))
-        .groupBy(col("id")).agg(sum(col("c")).cast("int").as("outdeg"))
-      var state: RDD[VBlock] = vertsDF
+      // shuffle+sort, streamed into primitive per-partition arrays. On
+      // resume the committed (id, rank, outdeg) snapshot replaces the
+      // aggregation — it IS the complete vertex state. -------------------
+      val stateSource: org.apache.spark.sql.DataFrame = initialState match {
+        case Some((snap, _)) =>
+          snap.select(col("id"), col("outdeg").cast("int").as("outdeg"), col("rank"))
+        case None =>
+          edf.select(col("src").as("id"), lit(1).as("c"))
+            .unionAll(edf.select(col("dst").as("id"), lit(0).as("c")))
+            .groupBy(col("id")).agg(sum(col("c")).cast("int").as("outdeg"))
+            .withColumn("rank", lit(0.0)) // filled with 1/n once n is known
+      }
+      var state: RDD[VBlock] = stateSource
         .repartition(P, tokOf(col("id")))
         .sortWithinPartitions(col("id"))
-        .as[(Long, Int)].rdd
+        .as[(Long, Int, Double)].rdd
         .mapPartitionsWithIndex({ (i, it) =>
           var cap = 1024
           var ids = new Array[Long](cap)
           var od = new Array[Int](cap)
+          var rks = new Array[Double](cap)
           var n = 0
           while (it.hasNext) {
-            val (id, d) = it.next()
+            val (id, d, r) = it.next()
             if (n == cap) {
               cap *= 2
               ids = java.util.Arrays.copyOf(ids, cap)
               od = java.util.Arrays.copyOf(od, cap)
+              rks = java.util.Arrays.copyOf(rks, cap)
             }
-            ids(n) = id; od(n) = d; n += 1
+            ids(n) = id; od(n) = d; rks(n) = r; n += 1
           }
           if (n == 0) Iterator.empty
           else Iterator.single(VBlock(i,
-            java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(od, n), new Array[Double](n)))
+            java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(od, n),
+            java.util.Arrays.copyOf(rks, n)))
         }, preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val counts = state.map(b => (b.ids.length.toLong, b.outdeg.count(_ == 0).toLong))
@@ -252,16 +295,28 @@ object CsrPageRank {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val m = blocks.map(_.nbrIdx.length.toLong).fold(0L)(_ + _)
 
-      val r0 = 1.0 / n
-      state = materialize(state.mapPartitions(
-        _.map(b => b.copy(ranks = Array.fill(b.ids.length)(r0))), preservesPartitioning = true))
+      if (initialState.isEmpty) {
+        val r0 = 1.0 / n
+        state = materialize(state.mapPartitions(
+          _.map(b => b.copy(ranks = Array.fill(b.ids.length)(r0))), preservesPartitioning = true))
+      }
 
       val prepSecs = (System.nanoTime() - prepT0) / 1e9
       val loopT0 = System.nanoTime()
       val sc = spark.sparkContext
       val alpha = cfg.alpha
-      var dangling = danglingCount.toDouble / n
-      var iter = 0
+      // fresh start: uniform ranks make dangling mass a closed form;
+      // resume: recompute it from the snapshot's ranks (deterministic)
+      var dangling = initialState match {
+        case None => danglingCount.toDouble / n
+        case Some(_) => state.map { vb =>
+          var s = 0.0
+          var k = 0
+          while (k < vb.ids.length) { if (vb.outdeg(k) == 0) s += vb.ranks(k); k += 1 }
+          s
+        }.fold(0.0)(_ + _)
+      }
+      var iter = initialState.map(_._2).getOrElse(0)
       var converged = false
       var deltas = Vector.empty[Double]
 

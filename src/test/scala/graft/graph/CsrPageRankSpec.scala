@@ -45,6 +45,26 @@ class CsrPageRankSpec extends SparkSpec {
     assert(committed == toMap(durable), "committed snapshot differs from the final state")
   }
 
+  test("resume from a mid-run checkpoint == uninterrupted run (bit-identical)") {
+    val edges = Oracles.randomGraph(150, 700, seed = 19)
+    val ds = edges.toDF("src", "dst").as[Edge]
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-csr-full").toString
+    val partDir = java.nio.file.Files.createTempDirectory("graft-csr-part").toString
+    val full = CsrPageRank.run(ds,
+      PageRankConfig(tol = 0.0, maxIter = 8, checkpoint = Durable(fullDir, every = 8)))
+    // killed run: 4 of 8 supersteps committed
+    CsrPageRank.run(ds,
+      PageRankConfig(tol = 0.0, maxIter = 4, checkpoint = Durable(partDir, every = 4)))
+    val resumed = CsrPageRank.resume(ds, partDir,
+      PageRankConfig(tol = 0.0, maxIter = 8, checkpoint = Durable(partDir, every = 4)))
+    assert(resumed.iterations == 8)
+    assert(toMap(resumed) == toMap(full), "resumed trajectory diverged")
+    // resuming when nothing is left to do returns the state unchanged
+    val again = CsrPageRank.resume(ds, partDir,
+      PageRankConfig(tol = 0.0, maxIter = 8, checkpoint = Durable(partDir, every = 4)))
+    assert(toMap(again) == toMap(full))
+  }
+
   test("block size cap splits partitions by edge count") {
     val edges = (0L until 50L).flatMap(i => (0L until 20L).map(j => (i, 1000 + j)))
     val ds = edges.toDF("src", "dst").as[Edge]
