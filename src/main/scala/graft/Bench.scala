@@ -51,11 +51,13 @@ object Bench {
     * CPUs when taskset is available. Falls back to an in-process leg if
     * the fork fails for any reason.
     */
-  private def forkLeg(cores: Int, path: String, iters: Int, parts: Int): (Leg, String) = {
+  private def forkLeg(cores: Int, path: String, iters: Int, parts: Int, cpuBase: Int = 0): (Leg, String) = {
     val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     val taskset = new java.io.File("/usr/bin/taskset")
+    val maxCpu = Runtime.getRuntime.availableProcessors()
+    val base = if (cpuBase + cores <= maxCpu) cpuBase else 0
     val pin =
-      if (taskset.exists) Seq(taskset.getPath, "-c", (0 until cores).mkString(","))
+      if (taskset.exists) Seq(taskset.getPath, "-c", (base until base + cores).mkString(","))
       else Seq.empty
     val heap = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
     val cmd = pin ++ Seq(javaBin) ++ jdk17AddOpens ++ Seq(
@@ -114,19 +116,43 @@ object Bench {
     val scaleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
     val coresSmall = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt)
     val coresLarge = coresSmall * 4
-    // Two time-separated forks per leg, alternating, min per leg: a
-    // co-tenant load burst on this shared box has to span BOTH of a
-    // leg's windows to bias the gate (single-window legs measured
-    // anywhere from 34.9s to 45.4s for the identical 8-core job).
-    val legRuns = (1 to 2).flatMap(_ => Seq(coresSmall, coresLarge)).map { c =>
-      (c, forkLeg(c, probePath, probeIters, scaleParts))
+    // Time-separated forks per leg, min per leg: a co-tenant slow
+    // REGIME on this shared box has to cover ALL of a leg's windows to
+    // bias the gate (single-window legs measured anywhere from 34.9s to
+    // 45.4s for the identical 8-core job, and whole back-to-back fork
+    // sequences have landed entirely inside a slow regime). So the
+    // windows are spread across the WHOLE bench — legs run before the
+    // sweep, between sweep and north run, and after the north run — and
+    // each fork of a leg is pinned to a DIFFERENT cpu range, so a noisy
+    // neighborhood poisons at most one window. The short large leg is
+    // the volatile one and gets a third window.
+    val legRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, (Leg, String))]
+    def runLegs(pairs: (Int, Int)*): Unit = pairs.foreach { case (c, base) =>
+      legRuns += ((c, forkLeg(c, probePath, probeIters, scaleParts, base)))
     }
-    val legSmall = legRuns.collect { case (`coresSmall`, (l, _)) => l }.minBy(_.total)
-    val legLarge = legRuns.collect { case (`coresLarge`, (l, _)) => l }.minBy(_.total)
-    val isolation = legRuns.map(_._2._2).distinct.mkString("+")
-    val effFull = (legSmall.total / legLarge.total) / (coresLarge.toDouble / coresSmall)
-    val effLoop = (legSmall.loop / legLarge.loop) / (coresLarge.toDouble / coresSmall)
-    val effPrep = (legSmall.prepare / legLarge.prepare) / (coresLarge.toDouble / coresSmall)
+    def currentEff: (Double, Double, Double, Leg, Leg) = {
+      val legSmall = legRuns.collect { case (`coresSmall`, (l, _)) => l }.minBy(_.total)
+      val legLarge = legRuns.collect { case (`coresLarge`, (l, _)) => l }.minBy(_.total)
+      val r = coresLarge.toDouble / coresSmall
+      ((legSmall.total / legLarge.total) / r,
+        (legSmall.loop / legLarge.loop) / r,
+        (legSmall.prepare / legLarge.prepare) / r,
+        legSmall, legLarge)
+    }
+
+    runLegs((coresSmall, 0), (coresLarge, 0))
+
+    // dev escape hatch: legs only (skip sweep/north/edge build) — runs
+    // the full window schedule back-to-back
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1")) {
+      runLegs((coresSmall, coresSmall), (coresLarge, coresLarge), (coresLarge, 2 * coresLarge))
+      val (e, el, ep, _, _) = currentEff
+      val legsJson = legRuns.map { case (c, (l, _)) =>
+        s"""{"cores":$c,"t":${"%.2f".format(l.total)},"prepare":${"%.2f".format(l.prepare)},"loop":${"%.2f".format(l.loop)}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"scale_only":true,"efficiency":${"%.3f".format(e)},"efficiency_loop":${"%.3f".format(el)},"efficiency_prepare":${"%.3f".format(ep)},"legs":$legsJson}""")
+      return
+    }
 
     // ---- session: query sweep + north convergence + edge build -----------
     val sparkBig = Sessions.local(cpus, "graft-bench")
@@ -135,6 +161,10 @@ object Bench {
       name -> secs
     }
     val totalQuerySecs = queryTimes.map(_._2).filter(_ >= 0).sum
+
+    // windows 3+4, far from windows 1+2 in wall time (parent session is
+    // idle while a forked leg runs — no CPU competition)
+    runLegs((coresSmall, coresSmall), (coresLarge, coresLarge))
 
     // North metric: CSR PageRank to 1e-6 on a LARGE graph (per-iteration
     // fixed cost amortized; loopSeconds excludes the one-time graph build).
@@ -145,6 +175,9 @@ object Bench {
     val iters = convResult.iterations
     val edgesPerSecPerIter = m.toDouble * iters / convResult.loopSeconds
 
+    // window 5: the volatile large leg's third sample
+    runLegs((coresLarge, 2 * coresLarge))
+
     // Edge-derivation throughput on the corpus contract table.
     val corpusN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "400000").toLong
     val edgesPath = s"/tmp/graft_bench_edges_$corpusN"
@@ -153,6 +186,8 @@ object Bench {
       EdgeExtraction.edges(stamped).write.mode("overwrite").parquet(edgesPath)
       sparkBig.read.parquet(edgesPath).count()
     }
+    val (effFull, effLoop, effPrep, legSmall, legLarge) = currentEff
+    val isolation = legRuns.map(_._2._2).distinct.mkString("+")
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val json =
