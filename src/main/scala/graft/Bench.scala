@@ -2,25 +2,38 @@ package graft
 
 import graft.core.Sessions
 import graft.ingest.{Corpus, Edge, EdgeExtraction}
-import graft.graph.{CsrPageRank, LocalOnly, PageRankConfig, PageRankResult}
-import org.apache.spark.sql.{Dataset, Encoders}
+import graft.graph.{CsrPageRank, LocalOnly, PageRankConfig}
+import org.apache.spark.sql.Encoders
 
 /** Per-round benchmark. Prints ONE JSON line (and writes it to
   * BENCH/last_run.json):
-  *   - the two-cluster-size scaling evidence FIRST (before any other
-  *     work can pollute JVM/OS state): the same fixed-work job — CSR
-  *     PageRank, fixed iterations, fixed shuffle-partition count, same
-  *     edge parquet — at N and 4N cores, each leg in its own forked JVM
-  *     pinned (taskset) to exactly that many host CPUs;
+  *   - the two-cluster-size scaling evidence: the same fixed-work job —
+  *     CSR PageRank, fixed iterations, fixed shuffle-partition count,
+  *     same edge parquet — at N and 4N cores, each leg in its own forked
+  *     JVM pinned (taskset) to exactly that many host CPUs;
   *   - per-query seconds over SPARK_GRAFT_SF_DIR;
   *   - the north-rule metric: PageRank edges/sec per iteration to 1e-6
   *     convergence on a large corpus-derived edge table (CSR scale path);
   *   - edge-derivation throughput on the corpus contract table.
   *
-  * Measurement-regime metadata rides in the JSON (shuffle_dir, pinned,
-  * isolation, fixed partition count) so consumers can tell exactly what
-  * was measured. Full narrative + baseline comparison in
-  * BENCH/BASELINE.md.
+  * == Contamination-proof scaling protocol (round 4) ==
+  * This box is shared: co-tenant load arrives in MULTI-MINUTE REGIMES
+  * that slow the bandwidth-hungry large leg ~20% while barely moving the
+  * small leg, so a single back-to-back leg pair can read anything from
+  * 0.75 to a (meaningless) superlinear >1. The protocol therefore:
+  *   1. runs 3 time-separated windows PER LEG (symmetric — min-of-3 vs
+  *      min-of-3, no sample-count bias), spread across the whole bench
+  *      (before the sweep / after the sweep / after the north run), each
+  *      window pinned to a DIFFERENT host-cpu range;
+  *   2. runs a fixed-work single-thread memory-bandwidth calibration
+  *      probe immediately before every window and records its time — a
+  *      regime detector that makes interference visible in the artifact;
+  *   3. if a leg's windows disagree by >25% or the calibration drifts
+  *      by >25%, reruns the noisy leg once more and marks the JSON
+  *      "contended":true so the gate value is read with context;
+  *   4. emits EVERY window (cores, cpu_base, t, prepare, loop, calib)
+  *      in scaling.legs — the artifact carries its own evidence.
+  * Full narrative + baseline comparison in BENCH/BASELINE.md.
   */
 object Bench {
 
@@ -46,12 +59,44 @@ object Bench {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private case class Leg(cores: Int, total: Double, prepare: Double, loop: Double)
+  private case class Window(cores: Int, cpuBase: Int, leg: Leg, isolation: String, calibSec: Double)
+
+  // ---- regime-detector calibration probe ---------------------------------
+  // Fixed single-thread work, deliberately MEMORY-BANDWIDTH bound (the
+  // resource co-tenant regimes actually contend on): strided passes over a
+  // 256 MB long array. ~0.5-1.5 s on an idle box; drifts up under the same
+  // regimes that inflate the large leg. Allocated once, touched fully on
+  // first use (page-in outside every timed probe).
+  private lazy val calibArray: Array[Long] = {
+    val a = new Array[Long](32 * 1024 * 1024)
+    var i = 0
+    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  @volatile private var calibSink: Long = 0L
+
+  private def calibrate(): Double = {
+    val a = calibArray
+    var sink = 0L
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < 6) {
+      var i = (pass * 7) % 16 // vary start offset so passes don't trivially hit L1
+      while (i < a.length) { sink += a(i); i += 16 } // 128-byte stride: defeats prefetch-friendly full reuse
+      pass += 1
+    }
+    calibSink = sink // observable side effect: the JIT cannot elide the loop
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** Run one scaling leg in a fresh forked JVM, pinned to `cores` host
-    * CPUs when taskset is available. Falls back to an in-process leg if
-    * the fork fails for any reason.
+    * CPUs when taskset is available. Returns None when the fork fails AND
+    * the in-process fallback is unsafe (a shared SparkSession is already
+    * active — Sessions.local would getOrCreate-reuse it at the wrong core
+    * count and stopping it would kill the rest of the bench).
     */
-  private def forkLeg(cores: Int, path: String, iters: Int, parts: Int, cpuBase: Int = 0): (Leg, String) = {
+  private def forkLeg(cores: Int, path: String, iters: Int, parts: Int, cpuBase: Int = 0): Option[(Leg, String)] = {
     val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     val taskset = new java.io.File("/usr/bin/taskset")
     val maxCpu = Runtime.getRuntime.availableProcessors()
@@ -74,19 +119,29 @@ object Bench {
       if (rc != 0 || line.isEmpty) throw new RuntimeException(s"leg rc=$rc, no JSON (tail: ${out.takeRight(3).mkString(" | ")})")
       def num(key: String): Double =
         s""""$key":([0-9.]+)""".r.findFirstMatchIn(line.get).get.group(1).toDouble
-      (Leg(cores, num("t_sec"), num("prepare_sec"), num("loop_sec")),
-        if (pin.nonEmpty) "forked_jvm_pinned" else "forked_jvm")
+      Some((Leg(cores, num("t_sec"), num("prepare_sec"), num("loop_sec")),
+        if (pin.nonEmpty) "forked_jvm_pinned" else "forked_jvm"))
     } catch {
       case e: Throwable =>
-        System.err.println(s"forked leg failed (${e.getMessage}); falling back in-process")
-        val s = Sessions.local(cores, s"graft-bench-scale-$cores")
-        try {
-          val edges = s.read.parquet(path).as[Edge]
-          edges.count()
-          val (r, secs) = timed(CsrPageRank.run(edges,
-            PageRankConfig(tol = 0.0, maxIter = iters, checkpoint = LocalOnly())))
-          (Leg(cores, secs, r.prepareSeconds, r.loopSeconds), "in_process")
-        } finally s.stop()
+        val active = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        if (active.nonEmpty) {
+          // ADVICE r3: with a live shared session, Sessions.local would
+          // getOrCreate THAT session (wrong core count) and the fallback's
+          // stop() would crash the remaining bench. Record a failed leg.
+          System.err.println(s"forked leg failed (${e.getMessage}); shared session active -> leg recorded as failed")
+          None
+        } else {
+          System.err.println(s"forked leg failed (${e.getMessage}); falling back in-process")
+          val s = Sessions.local(cores, s"graft-bench-scale-$cores")
+          try {
+            val edges = s.read.parquet(path).as[Edge]
+            edges.count()
+            val (r, secs) = timed(CsrPageRank.run(edges,
+              PageRankConfig(tol = 0.0, maxIter = iters, checkpoint = LocalOnly())))
+            Some((Leg(cores, secs, r.prepareSeconds, r.loopSeconds), "in_process"))
+          } finally s.stop()
+        }
     }
   }
 
@@ -111,46 +166,73 @@ object Bench {
       s.stop()
     }
 
-    // ---- scaling legs FIRST: fresh pinned JVMs, identical task graph -----
+    // ---- scaling windows: fresh pinned JVMs, identical task graph --------
     val probeIters = 16
     val scaleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
     val coresSmall = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt)
     val coresLarge = coresSmall * 4
-    // Time-separated forks per leg, min per leg: a co-tenant slow
-    // REGIME on this shared box has to cover ALL of a leg's windows to
-    // bias the gate (single-window legs measured anywhere from 34.9s to
-    // 45.4s for the identical 8-core job, and whole back-to-back fork
-    // sequences have landed entirely inside a slow regime). So the
-    // windows are spread across the WHOLE bench — legs run before the
-    // sweep, between sweep and north run, and after the north run — and
-    // each fork of a leg is pinned to a DIFFERENT cpu range, so a noisy
-    // neighborhood poisons at most one window. The short large leg is
-    // the volatile one and gets a third window.
-    val legRuns = scala.collection.mutable.ArrayBuffer.empty[(Int, (Leg, String))]
+    calibrate() // page-in + JIT the probe outside any recorded window
+
+    val windows = scala.collection.mutable.ArrayBuffer.empty[Window]
     def runLegs(pairs: (Int, Int)*): Unit = pairs.foreach { case (c, base) =>
-      legRuns += ((c, forkLeg(c, probePath, probeIters, scaleParts, base)))
+      val calib = calibrate()
+      forkLeg(c, probePath, probeIters, scaleParts, base).foreach { case (leg, iso) =>
+        windows += Window(c, base, leg, iso, calib)
+      }
+    }
+    def legWindows(c: Int) = windows.filter(_.cores == c).toVector
+    def spreadOf(ws: Vector[Window]): Double =
+      if (ws.size < 2) 0.0
+      else {
+        val ts = ws.map(_.leg.total)
+        (ts.max - ts.min) / ts.min
+      }
+    // Contention handling: a leg whose windows disagree by >25%, or a
+    // calibration probe that drifted >25% across the run, marks the run
+    // contended; the noisy leg gets ONE extra window (at yet another cpu
+    // range) so min-selection has a chance at a clean sample.
+    def contentionPass(): (Boolean, Double) = {
+      val calibs = windows.map(_.calibSec)
+      val calibDrift = if (calibs.size < 2) 0.0 else (calibs.max - calibs.min) / calibs.min
+      var contended = calibDrift > 0.25
+      Seq(coresSmall, coresLarge).foreach { c =>
+        if (spreadOf(legWindows(c)) > 0.25) {
+          contended = true
+          val usedBases = legWindows(c).map(_.cpuBase).toSet
+          val freshBase = Iterator.from(0, c).find(b => !usedBases.contains(b) && b + c <= Runtime.getRuntime.availableProcessors()).getOrElse(0)
+          runLegs((c, freshBase))
+        }
+      }
+      (contended, calibDrift)
     }
     def currentEff: (Double, Double, Double, Leg, Leg) = {
-      val legSmall = legRuns.collect { case (`coresSmall`, (l, _)) => l }.minBy(_.total)
-      val legLarge = legRuns.collect { case (`coresLarge`, (l, _)) => l }.minBy(_.total)
+      val legSmall = legWindows(coresSmall).map(_.leg).minBy(_.total)
+      val legLarge = legWindows(coresLarge).map(_.leg).minBy(_.total)
       val r = coresLarge.toDouble / coresSmall
       ((legSmall.total / legLarge.total) / r,
         (legSmall.loop / legLarge.loop) / r,
         (legSmall.prepare / legLarge.prepare) / r,
         legSmall, legLarge)
     }
+    def legsJson: String = windows.map { w =>
+      s"""{"cores":${w.cores},"cpu_base":${w.cpuBase},"t":${"%.2f".format(w.leg.total)},""" +
+      s""""prepare":${"%.2f".format(w.leg.prepare)},"loop":${"%.2f".format(w.leg.loop)},""" +
+      s""""calib_sec":${"%.3f".format(w.calibSec)},"isolation":"${w.isolation}"}"""
+    }.mkString("[", ",", "]")
+    def forksJson: String =
+      s"""{"small":${legWindows(coresSmall).size},"large":${legWindows(coresLarge).size}}"""
 
+    // windows 1+2 (before the sweep)
     runLegs((coresSmall, 0), (coresLarge, 0))
 
     // dev escape hatch: legs only (skip sweep/north/edge build) — runs
-    // the full window schedule back-to-back
+    // the full symmetric window schedule back-to-back
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1")) {
-      runLegs((coresSmall, coresSmall), (coresLarge, coresLarge), (coresLarge, 2 * coresLarge))
+      runLegs((coresSmall, coresSmall), (coresLarge, coresLarge),
+        (coresSmall, 2 * coresSmall), (coresLarge, 2 * coresLarge))
+      val (contended, calibDrift) = contentionPass()
       val (e, el, ep, _, _) = currentEff
-      val legsJson = legRuns.map { case (c, (l, _)) =>
-        s"""{"cores":$c,"t":${"%.2f".format(l.total)},"prepare":${"%.2f".format(l.prepare)},"loop":${"%.2f".format(l.loop)}}"""
-      }.mkString("[", ",", "]")
-      println(s"""{"scale_only":true,"efficiency":${"%.3f".format(e)},"efficiency_loop":${"%.3f".format(el)},"efficiency_prepare":${"%.3f".format(ep)},"legs":$legsJson}""")
+      println(s"""{"scale_only":true,"efficiency":${"%.3f".format(e)},"efficiency_loop":${"%.3f".format(el)},"efficiency_prepare":${"%.3f".format(ep)},"contended":$contended,"calib_drift":${"%.3f".format(calibDrift)},"forks_per_leg":$forksJson,"legs":$legsJson}""")
       return
     }
 
@@ -175,8 +257,9 @@ object Bench {
     val iters = convResult.iterations
     val edgesPerSecPerIter = m.toDouble * iters / convResult.loopSeconds
 
-    // window 5: the volatile large leg's third sample
-    runLegs((coresLarge, 2 * coresLarge))
+    // windows 5+6: each leg's third sample, after the north run
+    runLegs((coresSmall, 2 * coresSmall), (coresLarge, 2 * coresLarge))
+    val (contended, calibDrift) = contentionPass()
 
     // Edge-derivation throughput on the corpus contract table.
     val corpusN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "400000").toLong
@@ -187,7 +270,7 @@ object Bench {
       sparkBig.read.parquet(edgesPath).count()
     }
     val (effFull, effLoop, effPrep, legSmall, legLarge) = currentEff
-    val isolation = legRuns.map(_._2._2).distinct.mkString("+")
+    val isolation = windows.map(_.isolation).distinct.mkString("+")
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val json =
@@ -197,7 +280,8 @@ object Bench {
       s""""pagerank":{"edges":$m,"vertices":${convResult.vertexCount},"iterations":$iters,"loop_sec":${"%.2f".format(convResult.loopSeconds)},"prepare_sec":${"%.2f".format(convResult.prepareSeconds)},"converged":${convResult.converged}},""" +
       s""""edge_build":{"corpus_rows":$corpusN,"edges":$edgesCount,"seconds":${"%.2f".format(edgeBuildSecs)},"edges_per_sec":${"%.1f".format(edgesCount / edgeBuildSecs)}},""" +
       s""""scaling":{"cores_small":$coresSmall,"cores_large":$coresLarge,"probe_edges":$m,"probe_iters":$probeIters,""" +
-      s""""fixed_shuffle_partitions":$scaleParts,"isolation":"$isolation","shuffle_dir":"$shuffleDir","forks_per_leg":2,"selection":"min",""" +
+      s""""fixed_shuffle_partitions":$scaleParts,"isolation":"$isolation","shuffle_dir":"$shuffleDir","forks_per_leg":$forksJson,"selection":"min",""" +
+      s""""contended":$contended,"calib_drift":${"%.3f".format(calibDrift)},"legs":$legsJson,""" +
       s""""t_small_sec":${"%.2f".format(legSmall.total)},"t_large_sec":${"%.2f".format(legLarge.total)},""" +
       s""""loop_small_sec":${"%.2f".format(legSmall.loop)},"loop_large_sec":${"%.2f".format(legLarge.loop)},""" +
       s""""prepare_small_sec":${"%.2f".format(legSmall.prepare)},"prepare_large_sec":${"%.2f".format(legLarge.prepare)},""" +

@@ -31,7 +31,10 @@ object LogisticTrainer {
 
   final case class CvMetrics(macroF1: Double, rocAuc: Double, folds: Int)
 
-  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+  // StrictMath, not Math: Math.exp may use platform intrinsics whose last
+  // bit differs across JVMs/hardware; StrictMath is bit-specified (fdlibm),
+  // which is what makes the trained coefficients a cross-platform golden.
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + StrictMath.exp(-z))
 
   /** Solve A x = b (k x k, symmetric positive definite up to the ridge)
     * by Gaussian elimination with partial pivoting. Driver-side, k <= ~20.

@@ -1,21 +1,49 @@
 package graft.core
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, GraftSessionBridge, SparkSession}
 
-/** Session-conf guard for iterative loops.
+/** Loop-scoped session conf for iterative algorithms.
   *
   * Inside a superstep loop the join inputs are already co-partitioned by
   * the iteration key, so the planner's adaptive tricks only hurt:
   *  - auto-broadcast would collect the full vertex state to the driver
   *    EVERY iteration (measured: ~3s/iteration on a 100k-vertex state);
   *  - AQE partition coalescing changes partition counts mid-loop, breaking
-  *    the co-partitioning reuse and re-introducing per-iteration shuffles.
+  *    the co-partitioning reuse and re-introducing per-iteration shuffles;
+  *  - `spark.sql.shuffle.partitions` must be sized to the LOOP data
+  *    (sizedPartitions), not the session default.
   *
-  * The guard disables both for the loop body and restores the session
-  * conf afterwards. Non-iterative queries (edge derivation, analytics)
-  * keep AQE + skew-join splitting.
+  * Two mechanisms:
+  *  - `withLoopSession` (preferred, race-free): runs the loop body on a
+  *    CLONED session — isolated conf over the same SparkContext, shared
+  *    CacheManager — so concurrent queries on the caller's session can
+  *    never observe loop confs and the loop can never clobber a
+  *    concurrent loop's partition sizing. Nothing to restore.
+  *  - `withIterationConf` (legacy set/restore on the caller's session):
+  *    kept for dev tools that intentionally reshape their own session.
   */
 object IterationConf {
+
+  /** Run `body` against a loop-tuned clone of `spark`: AQE off,
+    * auto-broadcast off, shuffle partitions = `loopParts`. The caller's
+    * session conf is never touched (thread-safe by construction).
+    * Re-bind loop inputs into the clone with `rebind(df, loopSpark)` and
+    * results back with `rebind(result, spark)` so downstream caller
+    * queries keep the caller's conf (AQE, broadcast) — checkpointed /
+    * cached fragments are shared through SharedState either way.
+    */
+  def withLoopSession[A](spark: SparkSession, loopParts: Int)(body: SparkSession => A): A = {
+    val loop = GraftSessionBridge.cloneSession(spark)
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loop.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    body(loop)
+  }
+
+  /** Re-bind a DataFrame's plan to another session (same SparkContext). */
+  def rebind(df: DataFrame, to: SparkSession): DataFrame =
+    GraftSessionBridge.ofRows(to, df.queryExecution.logical)
+
   def withIterationConf[A](spark: SparkSession)(f: => A): A = {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
@@ -26,8 +54,6 @@ object IterationConf {
     finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abjt)
-      // loops may shrink shuffle.partitions to fit the loop data
-      // (sizedPartitions) — always restore the session default
       spark.conf.set("spark.sql.shuffle.partitions", parts)
     }
   }

@@ -66,14 +66,10 @@ object ConnectedComponents {
     */
   def run(edges: Dataset[Edge], maxRounds: Int = 50,
           checkpoint: CheckpointPolicy = LocalOnly()): CcResult = {
-    val spark = edges.sparkSession
-    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e0 = edges.toDF
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .repartition(P, col("u"))
-      .localCheckpoint(true)
     iterate(edges, e0, 0, maxRounds, checkpoint)
   }
 
@@ -86,18 +82,22 @@ object ConnectedComponents {
     Supersteps.lastCommitted(spark, runDir) match {
       case None => run(edges, maxRounds, Durable(runDir))
       case Some(step) =>
-        val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
         val e = Supersteps.readState(spark, runDir, step)
-          .repartition(P, col("u")).localCheckpoint(true)
         iterate(edges, e, step, maxRounds, Durable(runDir))
     }
   }
 
+  /** The whole loop runs on an isolated cloned session
+    * (IterationConf.withLoopSession) with per-round shuffles sized to the
+    * loop data — ~20 rounds x 2 shuffles over a tiny frontier must not
+    * pay `P` empty-task overheads each, and the caller's session conf is
+    * never mutated (thread-safe under concurrent queries). The result is
+    * re-bound to the caller's session.
+    */
   private def iterate(edges: Dataset[Edge], e0: DataFrame, round0: Int,
-                      maxRounds: Int, checkpoint: CheckpointPolicy): CcResult =
-    graft.core.IterationConf.withIterationConf(edges.sparkSession) {
-    val spark = edges.sparkSession
-    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+                      maxRounds: Int, checkpoint: CheckpointPolicy): CcResult = {
+    val callerSpark = edges.sparkSession
+    val sessionParts = callerSpark.conf.get("spark.sql.shuffle.partitions").toInt
 
     val allVerts = edges.toDF
       .select(col("src").as("id"))
@@ -105,16 +105,15 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nVerts = allVerts.count()
-    // Size the per-round shuffles to the loop data: ~20 rounds x 2
-    // shuffles over a tiny frontier must not pay `P` empty-task
-    // overheads each (restored by withIterationConf's finally).
-    val Pr = graft.core.IterationConf.sizedPartitions(P, nVerts)
-    spark.conf.set("spark.sql.shuffle.partitions", Pr)
+    val Pr = graft.core.IterationConf.sizedPartitions(sessionParts, nVerts)
+    graft.core.IterationConf.withLoopSession(callerSpark, Pr) { spark =>
 
     // Eager localCheckpoint per round: truncates lineage and avoids the
     // CacheManager invalidate-rebuild trap of persist/unpersist chains
     // (see PageRank.iterate).
-    var e = e0
+    var e = graft.core.IterationConf.rebind(e0, spark)
+      .repartition(Pr, col("u"))
+      .localCheckpoint(true)
     var rounds = round0
     var stable = false
     var prevSig: (Long, Long) = signature(e)
@@ -149,12 +148,13 @@ object ConnectedComponents {
     // At fixpoint the edge set is a star forest: every non-root points at
     // its component min. Roots (and isolated vertices) map to themselves.
     val mapping = e.select(col("u").as("id"), col("v").as("component"))
-    val components = allVerts
+    val components = graft.core.IterationConf.rebind(allVerts, spark)
       .join(mapping, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .localCheckpoint(true) // self-contained result; release inputs below
     allVerts.unpersist(false)
-    CcResult(components, rounds)
+    CcResult(graft.core.IterationConf.rebind(components, callerSpark), rounds)
+    }
   }
 
   private def releaseCheckpoint(df: DataFrame): Unit =

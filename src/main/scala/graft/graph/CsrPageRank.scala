@@ -167,24 +167,26 @@ object CsrPageRank {
   private def runImpl(
       edges: Dataset[Edge], cfg: PageRankConfig,
       initialState: Option[(org.apache.spark.sql.DataFrame, Int)]): PageRankResult = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val callerSpark = edges.sparkSession
+    val sessionParts = callerSpark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    IterationConf.withIterationConf(spark) {
-      val prepT0 = System.nanoTime()
-      // Grid dimension sized to the edge set (parquet-backed inputs
-      // answer count() from footer statistics; derived ones pay one
-      // extra derivation, far cheaper than tens of near-empty-task
-      // supersteps on a small graph). Restored by withIterationConf.
-      val P = IterationConf.sizedPartitions(sessionParts, math.max(edges.toDF.count(), 1L))
-      spark.conf.set("spark.sql.shuffle.partitions", P)
+    val prepT0 = System.nanoTime()
+    // Grid dimension sized to the edge set (parquet-backed inputs
+    // answer count() from footer statistics; derived ones pay one
+    // extra derivation, far cheaper than tens of near-empty-task
+    // supersteps on a small graph).
+    val P = IterationConf.sizedPartitions(sessionParts, math.max(edges.toDF.count(), 1L))
+    // The whole build + loop runs on an isolated cloned session (AQE off,
+    // broadcast off, shuffle partitions = P) — the caller's session conf
+    // is never mutated, so concurrent queries can't race it.
+    IterationConf.withLoopSession(callerSpark, P) { spark =>
+      import spark.implicits._
       val part = new HashPartitioner(P) // Int keys in [0,P): partition index == pid
       val toks = partitionTokens(P)
       def tokOf(idCol: Column): Column =
         element_at(lit(toks), pmod(idCol, lit(P.toLong)).cast("int") + lit(1))
 
-      val edf = edges.toDF // (src, dst)
+      val edf = IterationConf.rebind(edges.toDF, spark) // (src, dst)
 
       // --- 1. vertex state: one combined aggregation + one Tungsten
       // shuffle+sort, streamed into primitive per-partition arrays. On
@@ -192,7 +194,8 @@ object CsrPageRank {
       // aggregation — it IS the complete vertex state. -------------------
       val stateSource: org.apache.spark.sql.DataFrame = initialState match {
         case Some((snap, _)) =>
-          snap.select(col("id"), col("outdeg").cast("int").as("outdeg"), col("rank"))
+          IterationConf.rebind(snap, spark)
+            .select(col("id"), col("outdeg").cast("int").as("outdeg"), col("rank"))
         case None =>
           edf.select(col("src").as("id"), lit(1).as("c"))
             .unionAll(edf.select(col("dst").as("id"), lit(0).as("c")))
@@ -230,7 +233,7 @@ object CsrPageRank {
       val n = counts._1
       val danglingCount = counts._2
       if (n == 0) {
-        return PageRankResult(spark.emptyDataFrame, 0, converged = true, Nil, 0L, 0L)
+        return PageRankResult(callerSpark.emptyDataFrame, 0, converged = true, Nil, 0L, 0L)
       }
       // per-partition vertex counts — tiny (P ints), captured by closures
       val partSizes = {
@@ -475,7 +478,7 @@ object CsrPageRank {
         .toDF("id", "rank").localCheckpoint(true)
       blocks.unpersist(false)
       state.unpersist(false)
-      PageRankResult(result, iter, converged, deltas, m, n,
+      PageRankResult(IterationConf.rebind(result, callerSpark), iter, converged, deltas, m, n,
         prepareSeconds = prepSecs, loopSeconds = (System.nanoTime() - loopT0) / 1e9)
     }
   }

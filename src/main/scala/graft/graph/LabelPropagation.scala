@@ -49,11 +49,19 @@ object LabelPropagation {
     }
   }
 
+  /** The whole loop runs on an isolated cloned session
+    * (IterationConf.withLoopSession): loop shuffles AND the cached bidir
+    * adjacency are sized to the loop data (a 20k-vertex graph must not
+    * pay P near-empty tasks per stage per round — the cached join side's
+    * partition count sets the scan-stage task count every iteration; at
+    * scale Pr == P and nothing changes), and the caller's session conf is
+    * never mutated (thread-safe under concurrent queries). The result is
+    * re-bound to the caller's session.
+    */
   private def iterate(edges: Dataset[Edge], labels0: Option[DataFrame], iter0: Int,
-                      maxIter: Int, checkpoint: CheckpointPolicy): LpaResult =
-    graft.core.IterationConf.withIterationConf(edges.sparkSession) {
-    val spark = edges.sparkSession
-    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+                      maxIter: Int, checkpoint: CheckpointPolicy): LpaResult = {
+    val callerSpark = edges.sparkSession
+    val sessionParts = callerSpark.conf.get("spark.sql.shuffle.partitions").toInt
 
     val bidir0 = edges.toDF
       .select(col("src").as("u"), col("dst").as("v"))
@@ -62,14 +70,10 @@ object LabelPropagation {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = bidir0.count()
-    // Loop shuffles AND the cached bidir adjacency sized to the loop
-    // data (see IterationConf.sizedPartitions): a 20k-vertex graph must
-    // not pay P near-empty tasks per stage per round — the cached join
-    // side's partition count sets the scan-stage task count every
-    // iteration. At scale Pr == P and nothing changes.
-    val Pr = graft.core.IterationConf.sizedPartitions(P, nEdges)
-    spark.conf.set("spark.sql.shuffle.partitions", Pr)
-    val bidir = bidir0.repartition(Pr, col("v"))
+    val Pr = graft.core.IterationConf.sizedPartitions(sessionParts, nEdges)
+    graft.core.IterationConf.withLoopSession(callerSpark, Pr) { spark =>
+    val bidir = graft.core.IterationConf.rebind(bidir0, spark)
+      .repartition(Pr, col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = bidir.select(col("u").as("id")).distinct()
       .repartition(Pr, col("id")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -77,6 +81,7 @@ object LabelPropagation {
     bidir0.unpersist(false)
 
     var labels = labels0
+      .map(graft.core.IterationConf.rebind(_, spark))
       .getOrElse(verts.select(col("id"), col("id").as("label")))
       .repartition(Pr, col("id"))
       .localCheckpoint(true)
@@ -136,6 +141,7 @@ object LabelPropagation {
     // labels is a self-contained checkpointed LogicalRDD: release inputs.
     bidir.unpersist(false)
     verts.unpersist(false)
-    LpaResult(labels, iter, converged)
+    LpaResult(graft.core.IterationConf.rebind(labels, callerSpark), iter, converged)
+    }
   }
 }

@@ -69,22 +69,13 @@ object PageRank {
   private final case class Prepared(
       e: DataFrame, vdeg: DataFrame, n: Long, m: Long, parts: Int, danglingCount: Long)
 
-  private def prepare(edges: Dataset[Edge]): Prepared = {
-    val spark = edges.sparkSession
-    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e0 = edges.toDF.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val m = e0.count()
-    // Loop shuffles/caches sized to the loop data, not the session
-    // default (IterationConf.sizedPartitions): tens of supersteps over a
-    // small graph must not pay P near-empty tasks per stage each. The
-    // caller (run/resume) wraps in withIterationConf, which restores the
-    // session's shuffle.partitions afterwards. At scale Pr == P.
-    val Pr = graft.core.IterationConf.sizedPartitions(P, math.max(m, 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", Pr)
-    // Cached PRE-SORTED on the join keys: InMemoryRelation preserves
-    // outputOrdering, so the per-iteration sort-merge joins skip their
-    // Sort on the big (edge) side every iteration.
+  /** Build the cached co-partitioned graph inputs ON the loop session
+    * (`e0` must already be re-bound to it). Cached PRE-SORTED on the join
+    * keys: InMemoryRelation preserves outputOrdering, so the
+    * per-iteration sort-merge joins skip their Sort on the big (edge)
+    * side every iteration.
+    */
+  private def prepare(e0: DataFrame, Pr: Int, m: Long): Prepared = {
     val e = e0
       .repartition(Pr, col("src"))
       .sortWithinPartitions("src")
@@ -100,21 +91,49 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vdeg.count()
     val danglingCount = vdeg.filter(col("outdeg") === 0).count()
-    e0.unpersist(false)
     Prepared(e, vdeg, n, m, Pr, danglingCount)
   }
 
-  def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult =
-    graft.core.IterationConf.withIterationConf(edges.sparkSession) {
-      val t0 = System.nanoTime()
-      val g = prepare(edges)
+  /** Shared run/resume driver. The whole loop (prepare + iterate) runs on
+    * an isolated cloned session (IterationConf.withLoopSession) with
+    * shuffle partitions sized to the loop data — the caller's session
+    * conf is never mutated (thread-safe under concurrent queries); the
+    * result is re-bound to the caller's session so downstream work keeps
+    * its AQE/broadcast settings. At scale Pr == the session default.
+    */
+  private def runLoop(
+      edges: Dataset[Edge], cfg: PageRankConfig,
+      startIter: Int, state0: Option[DataFrame]
+  ): PageRankResult = {
+    val spark = edges.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val t0 = System.nanoTime()
+    val e0 = edges.toDF.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    val Pr = graft.core.IterationConf.sizedPartitions(sessionParts, math.max(m, 1L))
+    graft.core.IterationConf.withLoopSession(spark, Pr) { loop =>
+      val g = prepare(graft.core.IterationConf.rebind(e0, loop), Pr, m)
+      e0.unpersist(false)
       val prepSecs = (System.nanoTime() - t0) / 1e9
       if (g.n == 0)
-        return PageRankResult(edges.sparkSession.emptyDataFrame, 0, converged = true, Nil, 0L, 0L)
-      val ranks0 = g.vdeg.select(col("id"), lit(1.0 / g.n).as("rank"))
-      iterate(g, ranks0, 0, cfg, initialDangling = Some(g.danglingCount.toDouble / g.n))
-        .copy(prepareSeconds = prepSecs)
+        PageRankResult(spark.emptyDataFrame, startIter, converged = true, Nil, 0L, 0L)
+      else {
+        val ranks0 = state0
+          .map(graft.core.IterationConf.rebind(_, loop))
+          .getOrElse(g.vdeg.select(col("id"), lit(1.0 / g.n).as("rank")))
+        // closed-form initial dangling mass only for the uniform start
+        val dangling0 = if (state0.isEmpty) Some(g.danglingCount.toDouble / g.n) else None
+        val res = iterate(g, ranks0, startIter, cfg, dangling0)
+        res.copy(
+          ranks = graft.core.IterationConf.rebind(res.ranks, spark),
+          prepareSeconds = prepSecs)
+      }
     }
+  }
+
+  def run(edges: Dataset[Edge], cfg: PageRankConfig = PageRankConfig()): PageRankResult =
+    runLoop(edges, cfg, 0, None)
 
   /** Resume from the last committed superstep in runDir (or start fresh
     * if none). Final state is identical to an uninterrupted run because
@@ -136,10 +155,7 @@ object PageRank {
           val delta = "\"l1_delta\":([0-9.eE+-]+)".r
             .findFirstMatchIn(metrics).map(_.group(1).toDouble).getOrElse(0.0)
           PageRankResult(state, step, converged = true, Seq(delta), -1L, state.count())
-        } else graft.core.IterationConf.withIterationConf(spark) {
-          val g = prepare(edges)
-          iterate(g, state, step, durableCfg)
-        }
+        } else runLoop(edges, durableCfg, step, Some(state))
     }
   }
 
@@ -173,7 +189,10 @@ object PageRank {
       startIter: Int,
       cfg: PageRankConfig,
       initialDangling: Option[Double] = None
-  ): PageRankResult = graft.core.IterationConf.withIterationConf(g.e.sparkSession) {
+  ): PageRankResult = {
+    // g and ranks0 are bound to the loop session (withLoopSession): AQE
+    // off, broadcast off, shuffle partitions = g.parts — nothing here
+    // touches the caller's session conf.
     val spark = g.e.sparkSession
     val loopT0 = System.nanoTime()
     var ranks = ranks0.repartition(g.parts, col("id")).localCheckpoint(true)

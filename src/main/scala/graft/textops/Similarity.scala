@@ -114,47 +114,63 @@ object Similarity {
     * the candidates. Normalizing first makes L2 cells consistent with
     * the cosine metric (spherical k-means).
     *
-    * Scale: the quantizer fits on a sample-sized problem (nlist
-    * centroids); assignment is one broadcast-literal projection over the
-    * corpus; search shuffles only by cell id, so each query touches
-    * ~nprobe/nlist of the corpus instead of all of it. Recall < 1 by
+    * Scale: the quantizer fits on a BOUNDED seeded sample (default cap
+    * 100k vectors — at 100 TB the fit stays a constant-sized problem; ML
+    * Vectors interop exists only at this fit boundary); assignment of
+    * the full corpus is a pure-Catalyst broadcast-centroid projection
+    * (codegen'd, no UDF); search shuffles only by cell id, so each query
+    * touches ~nprobe/nlist of the corpus instead of all of it. Queries
+    * and corpus rows rank cells by the IDENTICAL unit-sphere metric
+    * |c|^2 - 2*dot(x_hat, c) (= L2^2 minus the constant |x_hat|^2), so
+    * probing agrees with the quantizer's own assignment. Recall < 1 by
     * construction — raise nprobe to trade cost for recall.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      fitSampleCap: Long = 100000L
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.linalg.Vectors
     require(nprobe <= nlist)
+    // ---- quantizer fit: bounded sample; the ONLY non-Catalyst step ------
+    val corpusRows = corpus.count()
+    val fitFraction = math.min(1.0, fitSampleCap.toDouble / math.max(1L, corpusRows))
     val toUnitVec = udf { a: Seq[Float] =>
       val d = a.map(_.toDouble).toArray
       val n = math.sqrt(d.map(x => x * x).sum)
       Vectors.dense(if (n == 0) d else d.map(_ / n))
     }
-    val feats = corpus.withColumn("features", toUnitVec(col("embedding")))
+    val fitRows = (if (fitFraction < 1.0) corpus.sample(withReplacement = false, fitFraction, seed) else corpus)
+      .withColumn("features", toUnitVec(col("embedding")))
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(20).fit(feats)
-    val assigned = model.transform(feats)
-      .select(col("vec_id"), col("embedding").as("c_emb"), col("prediction").as("cell"))
-
-    // query -> its nprobe nearest cells, via a broadcast centroid literal
+      .setK(nlist).setSeed(seed).setMaxIter(20).fit(fitRows)
     val cents = model.clusterCenters
-    val centCols = cents.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.toArray.map(lit): _*)
-      val qn = sqrt(aggregate(transform(col("q_unit"), x => x * x), lit(0.0d), (a, v) => a + v))
-      val dot = aggregate(zip_with(col("q_unit"), cl, (x, y) => x * y), lit(0.0d), (a, v) => a + v)
-      // distance on the unit sphere is monotone in -cosine
-      struct((-dot / when(qn === 0, 1.0).otherwise(qn)).as("d"), lit(i).as("cell"))
+
+    // ---- shared Catalyst cell metric (assignment == probing) ------------
+    def unitCol(emb: Column): Column = {
+      val d = emb.cast("array<double>")
+      val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (a, v) => a + v))
+      when(n === 0, d).otherwise(transform(d, x => x / n))
     }
-    val w = Window.partitionBy(col("query_id")).orderBy(col("probe.d"), col("probe.cell"))
+    def cellStructs(unit: Column): Column = array(cents.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.toArray.map(lit): _*)
+      val c2 = c.toArray.map(x => x * x).sum
+      val dot = aggregate(zip_with(unit, cl, (x, y) => x * y), lit(0.0d), (a, v) => a + v)
+      struct((lit(c2) - lit(2.0) * dot).as("d"), lit(i).as("cell"))
+    }: _*)
+
+    // full-corpus assignment: codegen'd argmin over the broadcast centroids
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding").as("c_emb"),
+        array_min(cellStructs(unitCol(col("embedding")))).getField("cell").as("cell"))
+
+    // query -> its nprobe nearest cells by the same metric; array_sort on
+    // (d, cell) structs replaces a Window shuffle in the probe step
     val qcells = queries
       .select(col("query_id"), col("embedding").as("q_emb"),
-        col("embedding").cast("array<double>").as("q_unit"))
-      .select(col("query_id"), col("q_emb"), explode(array(centCols: _*)).as("probe"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
+        explode(slice(array_sort(cellStructs(unitCol(col("embedding")))), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe").getField("cell").as("cell"))
 
     val wk = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     assigned.join(qcells, "cell")
