@@ -476,6 +476,48 @@ object SparkEntry {
       sources.TableUpsert.upsert(s, dir, updates, Seq("doc_id"))
       sources.TableUpsert.read(s, dir).get
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("total_chars"))
+    }),
+    // --- X10: HSV -> RGB hex over the topic-layout color wheel (vis/process.py:38-67, color_topic.py:26-32) --------------------------
+    // x/y derived deterministically from part keys; hue = atan2 angle,
+    // saturation = distance over the table max, hex via the engine's
+    // hsvToHex. The oracle replicates the piecewise HSV sextant math in
+    // pure SQL — sextant-boundary hues (multiples of 60) are color-
+    // continuous, so ulp-level libm differences cannot flip a byte.
+    "q_hsv_hex" -> ((s, d) => {
+      val base = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          (col("p_partkey") % 21 - lit(10)).cast("double").as("x"),
+          (col("p_partkey") % 17 - lit(8)).cast("double").as("y"))
+        .filter(col("x") =!= 0.0 || col("y") =!= 0.0)
+      val mx = base.agg(max(sqrt(col("x") * col("x") + col("y") * col("y"))).as("maxNorm"))
+      val j = base.crossJoin(broadcast(mx))
+      val (h, sat, v) = graft.functions.ColorFunctions.xyToHsv(col("x"), col("y"), col("maxNorm"))
+      j.select(col("p_partkey"), round(h, 6).as("hue"), round(sat, 6).as("sat"),
+        graft.functions.ColorFunctions.hsvToHexUdf(h, sat, v).as("hex"))
+    }),
+    // --- X11: embedded-JSON inverted index -> abstract text (utils/extract_abstract.py:12-36) ---------------------------------------
+    // The engine path builds the REAL OpenAlex-style JSON inverted index
+    // from each document (word -> positions), then round-trips it:
+    // to_json -> parseInvertedIndex (from_json) -> invertedIndexToText
+    // (explode/sort/join, pure Catalyst). Reconstruction inverts
+    // inversion, so the oracle is the whitespace-normalized text — any
+    // position-ordering or duplicate-word bug breaks the hash.
+    "q_inverted_abstract" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(trim(col("text")) =!= "")
+      val toks = docs
+        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
+        .filter(col("word") =!= "")
+      val inv = toks
+        .groupBy(col("doc_id"), col("word"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .groupBy(col("doc_id"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("word"), col("positions"))))).as("m"))
+      inv.select(col("doc_id"), to_json(col("m")).as("inv_json"))
+        .select(col("doc_id"),
+          sources.SemiStructured.invertedIndexToText(
+            sources.SemiStructured.parseInvertedIndex(col("inv_json"))).as("rebuilt"))
     })
   )
 
@@ -1258,6 +1300,39 @@ object SparkEntry {
             round(o_totalprice, 4) AS first_total,
             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
           FROM orders)
-         WHERE rn = 1"""
+         WHERE rn = 1""",
+    "q_hsv_hex" ->
+      """WITH base AS (
+           SELECT p_partkey,
+                  CAST(p_partkey % 21 - 10 AS DOUBLE) AS x,
+                  CAST(p_partkey % 17 - 8 AS DOUBLE) AS y
+           FROM part WHERE p_partkey <= 200),
+         nz AS (SELECT * FROM base WHERE x <> 0 OR y <> 0),
+         mx AS (SELECT max(sqrt(x*x + y*y)) AS maxnorm FROM nz),
+         hsv AS (
+           SELECT p_partkey,
+                  fmod(degrees(atan2(y, x)) + 360.0, 360.0) AS h,
+                  least(sqrt(x*x + y*y) / maxnorm, 1.0) AS s,
+                  1.0 AS v
+           FROM nz, mx),
+         c1 AS (SELECT *, fmod(fmod(h, 360) + 360, 360) / 60.0 AS hh FROM hsv),
+         c2 AS (SELECT *, CAST(floor(hh) AS INT) % 6 AS i, hh - floor(hh) AS f FROM c1),
+         c3 AS (SELECT *, v*(1-s) AS p, v*(1-f*s) AS q, v*(1-(1-f)*s) AS t FROM c2),
+         rgb AS (
+           SELECT p_partkey, h, s,
+                  CASE i WHEN 0 THEN v WHEN 1 THEN q WHEN 2 THEN p WHEN 3 THEN p WHEN 4 THEN t ELSE v END AS r,
+                  CASE i WHEN 0 THEN t WHEN 1 THEN v WHEN 2 THEN v WHEN 3 THEN q WHEN 4 THEN p ELSE p END AS g,
+                  CASE i WHEN 0 THEN p WHEN 1 THEN p WHEN 2 THEN t WHEN 3 THEN v WHEN 4 THEN v ELSE q END AS b
+           FROM c3)
+         SELECT p_partkey, round(h, 6) AS hue, round(s, 6) AS sat,
+                printf('#%02x%02x%02x',
+                       CAST(round(r*255) AS INT),
+                       CAST(round(g*255) AS INT),
+                       CAST(round(b*255) AS INT)) AS hex
+         FROM rgb""",
+    "q_inverted_abstract" ->
+      """SELECT doc_id,
+                array_to_string(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> ''), ' ') AS rebuilt
+         FROM documents WHERE trim(text) <> ''"""
   )
 }

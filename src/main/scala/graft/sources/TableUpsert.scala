@@ -8,55 +8,99 @@ import org.apache.spark.sql.functions._
   * `REPLACE INTO` upserts (update_links.py:84-90, the per-author row
   * replacement; extract_scigene_field.py's table reloads), re-expressed
   * for an object-store table layout where rows cannot be mutated in
-  * place:
+  * place.
   *
-  *   merged  = updates UNION (current ANTI-JOIN updates ON key)
-  *   commit  = write merged under `<table>/v<N+1>/`, then atomically
-  *             swap the `_current` pointer file to it
+  * == Layout (partition-scoped merge — 100 TB-sane) ==
+  * Rows live in `bucket=hash(key)%B` subdirectories, each at its own
+  * committed version:
   *
-  * Readers resolve through `_current`, so they see the previous
-  * version until the instant the pointer moves — key-wise
-  * last-writer-wins with all-or-nothing visibility, which is exactly
-  * the observable contract of the reference's transactional REPLACE. A
-  * crashed writer leaves a dangling `v<N+1>` directory and an untouched
-  * pointer: the table is unchanged (same commit protocol as
-  * graph.Supersteps; this is also precisely the seam where an Iceberg
-  * `MERGE INTO` drops in when its runtime jar is on the classpath).
+  *   table/_current            pointer: table version + bucket→version map
+  *   table/bucket=3/v7/  (parquet files)
+  *   table/_lock_v8            in-flight version claim (removed on commit)
   *
-  * Scale: one shuffle (the anti join on the key); the update side is
-  * broadcast when small. No driver-side row handling. Each commit
-  * rewrites the table's data files — correct at any size, but at
-  * 100 TB the table should be partitioned by a key prefix so only the
-  * partitions the update batch touches are merged and re-pointed (or
-  * the Iceberg MERGE INTO seam above takes over and rewrites per-file).
+  * An upsert merges ONLY the buckets its update batch touches:
+  *
+  *   merged  = updates UNION (current[touched buckets] ANTI-JOIN updates)
+  *   commit  = one job writes merged partitioned by bucket into a staging
+  *             dir; each staged bucket is renamed to `bucket=b/v<N>/`;
+  *             the `_current` pointer (bucket→version map) swaps
+  *             atomically
+  *
+  * Untouched buckets' files are never opened, rewritten, or moved — a
+  * commit's I/O is proportional to the update batch, not the table.
+  *
+  * Readers resolve through `_current`, so they see the previous version
+  * until the instant the pointer moves — key-wise last-writer-wins with
+  * all-or-nothing visibility, which is exactly the observable contract
+  * of the reference's transactional REPLACE. A crashed writer leaves a
+  * dangling staging dir / lock marker and an untouched pointer: the
+  * table is unchanged (same commit protocol as graph.Supersteps; this is
+  * also precisely the seam where an Iceberg `MERGE INTO` drops in when
+  * its runtime jar is on the classpath).
+  *
+  * == Concurrency ==
+  * A writer CLAIMS its version number before writing by atomically
+  * creating `_lock_v<N>` (create with overwrite=false — atomic on HDFS;
+  * a conditional put on object stores), retrying on the next number if
+  * taken. Two racing writers therefore write disjoint version
+  * directories; the pointer rename serializes visibility. Lost-update
+  * anomalies between overlapping key sets remain possible (last pointer
+  * wins) — the same contract as REPLACE INTO under concurrent clients.
+  *
+  * Scale: one shuffle (the anti join on the key) over only the touched
+  * buckets' data; the update side is broadcast when small. No
+  * driver-side row handling (the per-bucket rename loop moves
+  * directories, never rows).
   */
 object TableUpsert {
+
+  /** Committed state: table version, bucket count fixed at creation,
+    * and each data-bearing bucket's owning version.
+    */
+  final case class TableState(version: Long, numBuckets: Int, bucketVersions: Map[Int, Long])
 
   private def fs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Currently committed version directory, if any. */
-  def currentVersion(spark: SparkSession, tableDir: String): Option[String] = {
+  /** Parse the committed pointer, if any. */
+  def readState(spark: SparkSession, tableDir: String): Option[TableState] = {
     val (f, p) = fs(spark, tableDir)
     val ptr = new org.apache.hadoop.fs.Path(p, "_current")
     if (!f.exists(ptr)) None
     else {
       val in = f.open(ptr)
-      try {
-        val s = scala.io.Source.fromInputStream(in).mkString.trim
-        if (s.isEmpty) None else Some(s)
-      } finally in.close()
+      val lines =
+        try scala.io.Source.fromInputStream(in).getLines().map(_.trim).filter(_.nonEmpty).toVector
+        finally in.close()
+      if (lines.isEmpty) None
+      else {
+        val kv = lines.map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+        Some(TableState(
+          kv("version").toLong,
+          kv("buckets").toInt,
+          lines.collect { case l if l.startsWith("b:") =>
+            val Array(b, v) = l.stripPrefix("b:").split("=", 2)
+            b.toInt -> v.toLong
+          }.toMap))
+      }
     }
   }
 
-  /** The committed table contents (empty relation with the updates'
-    * schema if nothing is committed yet is not derivable — callers
-    * should treat None as "table absent").
+  /** Currently committed table version, if any (e.g. Some("v3")). */
+  def currentVersion(spark: SparkSession, tableDir: String): Option[String] =
+    readState(spark, tableDir).map(s => s"v${s.version}")
+
+  /** The committed table contents — ONE parquet scan over every bucket's
+    * committed version directory (None if nothing is committed yet).
     */
   def read(spark: SparkSession, tableDir: String): Option[DataFrame] =
-    currentVersion(spark, tableDir).map(v => spark.read.parquet(s"$tableDir/$v"))
+    readState(spark, tableDir).flatMap { st =>
+      val paths = st.bucketVersions.toSeq.sortBy(_._1)
+        .map { case (b, v) => s"$tableDir/bucket=$b/v$v" }
+      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    }
 
   /** Upsert `updates` by `keyCols`: rows whose key exists in `updates`
     * are replaced, all other current rows are kept, new keys are
@@ -64,32 +108,80 @@ object TableUpsert {
     * `updates` carries several rows per key they are all kept (mirror
     * the reference: REPLACE INTO with a multi-row VALUES keeps each
     * inserted row); dedupe upstream if last-one-wins within the batch is
-    * wanted.
+    * wanted. `numBuckets` fixes the layout at table creation and is
+    * ignored afterwards.
     */
-  def upsert(spark: SparkSession, tableDir: String, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
+             keyCols: Seq[String], numBuckets: Int = 16): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
     val (f, root) = fs(spark, tableDir)
     f.mkdirs(root)
-    val cur = currentVersion(spark, tableDir)
-    val nextN = cur.map(_.stripPrefix("v").toLong + 1).getOrElse(1L)
-    val nextDir = s"v$nextN"
-    val merged = cur match {
-      case None => updates
-      case Some(v) =>
-        val current = spark.read.parquet(s"$tableDir/$v")
-        // column-pruned anti join; Catalyst broadcasts small update sides
-        updates.unionByName(
-          current.join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
+    val st = readState(spark, tableDir)
+    val B = st.map(_.numBuckets).getOrElse(numBuckets)
+    val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(B.toLong)).cast("int")
+    val upd = updates.withColumn("__bucket", bucketOf)
+
+    // ---- claim the version: atomic create of a lock marker -------------
+    var n = st.map(_.version + 1).getOrElse(1L)
+    var lock: org.apache.hadoop.fs.Path = null
+    var attempts = 0
+    while (lock == null && attempts < 10000) {
+      val cand = new org.apache.hadoop.fs.Path(root, s"_lock_v$n")
+      try {
+        val out = f.create(cand, false) // overwrite=false: atomic claim
+        out.close()
+        lock = cand
+      } catch {
+        case _: java.io.IOException => n += 1; attempts += 1
+      }
     }
-    merged.write.mode("overwrite").parquet(s"$tableDir/$nextDir")
-    // atomic pointer swap: write aside, then rename over (HDFS/posix
-    // rename is atomic; object stores substitute a conditional put here)
-    val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp$nextN")
-    val out = f.create(tmp, true)
-    try out.write(nextDir.getBytes("UTF-8")) finally out.close()
-    val ptr = new org.apache.hadoop.fs.Path(root, "_current")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      root.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    spark.read.parquet(s"$tableDir/$nextDir")
+    require(lock != null, s"could not claim a version for $tableDir after $attempts attempts")
+
+    try {
+      // touched buckets: at most B driver-side ints, never data rows
+      val touched = upd.select(col("__bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val merged = st match {
+        case None => upd
+        case Some(s) =>
+          val curPaths = touched.flatMap(b => s.bucketVersions.get(b)
+            .map(v => s"$tableDir/bucket=$b/v$v"))
+          if (curPaths.isEmpty) upd
+          else {
+            val current = spark.read.parquet(curPaths: _*).withColumn("__bucket", bucketOf)
+            // column-pruned anti join; Catalyst broadcasts small update sides
+            upd.unionByName(
+              current.join(upd.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
+          }
+      }
+      // ONE write job for every touched bucket (partitionBy drops the
+      // synthetic __bucket column from the data files), then a per-bucket
+      // directory rename — metadata ops, no data movement.
+      val staging = s"$tableDir/_staging_v$n"
+      merged.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+      touched.foreach { b =>
+        val src = new org.apache.hadoop.fs.Path(s"$staging/__bucket=$b")
+        if (f.exists(src)) {
+          val dstDir = new org.apache.hadoop.fs.Path(s"$tableDir/bucket=$b")
+          f.mkdirs(dstDir)
+          f.rename(src, new org.apache.hadoop.fs.Path(dstDir, s"v$n"))
+        }
+      }
+      f.delete(new org.apache.hadoop.fs.Path(staging), true)
+
+      // ---- atomic pointer swap -----------------------------------------
+      val newMap = st.map(_.bucketVersions).getOrElse(Map.empty[Int, Long]) ++
+        touched.map(_ -> n)
+      val body = (Seq(s"version=$n", s"buckets=$B") ++
+        newMap.toSeq.sortBy(_._1).map { case (b, v) => s"b:$b=$v" }).mkString("\n")
+      val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp$n")
+      val out = f.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val ptr = new org.apache.hadoop.fs.Path(root, "_current")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        root.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      read(spark, tableDir).get
+    } finally f.delete(lock, false)
   }
 }

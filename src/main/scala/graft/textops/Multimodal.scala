@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * The Spark-side design is real and tested — schema, partitioning by
   * media size (so one partition never holds too many decoded frames),
   * batch-shaped per-partition processing via the typed Dataset API (the
-  * Scala analog of `mapInPandas` batches). The decode itself is STUBBED:
-  * no image/audio codecs ship in this container, so `decodeStub` produces
-  * a deterministic fake (dimensions/duration derived from the bytes) with
-  * the exact signature a real decoder would have. Swapping in a codec is
-  * a one-function change.
+  * Scala analog of `mapInPandas` batches). IMAGES decode for real through
+  * the JDK's pure-Java ImageIO readers (PNG/BMP/GIF/WBMP — `decode`,
+  * `resizeImage`): width/height from actual pixels, content feature from
+  * the luminance raster. Audio/video decode is STUBBED: no audio/video
+  * codecs ship in this container, so `decodeStub` produces a
+  * deterministic fake (duration derived from the bytes) with the exact
+  * signature a real decoder would have — swapping in a codec is a
+  * one-function change.
   */
 object Multimodal {
 
@@ -83,11 +86,74 @@ object Multimodal {
     )
   }
 
+  // ImageIO's default disk cache would create a temp file per decode on
+  // every executor — pure memory streams instead.
+  private lazy val imageIoReady: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** REAL image decode via the JDK's pure-Java ImageIO readers (PNG, BMP,
+    * GIF, WBMP — no native codecs needed, so this works in any JVM
+    * container). Width/height come from the actual pixel raster, and the
+    * 8-dim content feature is the mean luminance of a 4x2 grid over the
+    * image (strided sampling caps per-image work for huge rasters —
+    * deterministic regardless of partitioning). Audio/video and
+    * non-decodable image bytes fall back to `decodeStub`: the container
+    * ships no audio/video codecs (the declared seam), and a poison blob
+    * must never fail the batch.
+    */
+  def decode(row: MediaRow): MediaFeatures = {
+    if (row.kind != "image") decodeStub(row)
+    else {
+      val img =
+        try {
+          imageIoReady
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media)))
+        } catch { case _: Throwable => None }
+      img match {
+        case None => decodeStub(row)
+        case Some(bi) =>
+          val w = bi.getWidth
+          val h = bi.getHeight
+          val feat = new Array[Float](8)
+          val strideX = math.max(1, w / 64)
+          val strideY = math.max(1, h / 64)
+          var gy = 0
+          while (gy < 2) {
+            var gx = 0
+            while (gx < 4) {
+              val x0 = gx * w / 4; val x1 = math.max(x0 + 1, (gx + 1) * w / 4)
+              val y0 = gy * h / 2; val y1 = math.max(y0 + 1, (gy + 1) * h / 2)
+              var sum = 0.0; var cnt = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = bi.getRGB(x, y)
+                  // ITU-R BT.601 luma from the sRGB channels
+                  sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  cnt += 1
+                  x += strideX
+                }
+                y += strideY
+              }
+              feat(gy * 4 + gx) = (sum / (cnt * 255.0)).toFloat
+              gx += 1
+            }
+            gy += 1
+          }
+          decodeStub(row).copy(width = w, height = h, feature = feat)
+      }
+    }
+  }
+
   /** Feature extraction over size-balanced partitions: repartition by a
     * range on byte size so decode batches are even (a 100 MB video and a
     * 10 KB thumbnail shouldn't share a task queue position), then decode
     * per partition with the typed API — the Scala analog of mapInPandas
-    * batches.
+    * batches. Images decode for real (see `decode`); audio/video stay on
+    * the stub seam.
     */
   def extractFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -99,7 +165,39 @@ object Multimodal {
       .repartitionByRange(P, col("__sz"), col("media_id"))
       .drop("__sz")
       .as[MediaRow]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(decode))
+  }
+
+  /** Image resize via the JDK raster pipeline (bilinear) — returns PNG
+    * bytes; the Spark-side shape is the same one-row-in/one-row-out batch
+    * map as `decode`. Non-decodable input returns the original bytes
+    * unchanged (poison-safe).
+    */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    val img =
+      try {
+        imageIoReady
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      } catch { case _: Throwable => None }
+    img match {
+      case None => bytes
+      case Some(bi) =>
+        val scale = maxDim.toDouble / math.max(bi.getWidth, bi.getHeight)
+        if (scale >= 1.0) bytes
+        else {
+          val nw = math.max(1, math.round(bi.getWidth * scale).toInt)
+          val nh = math.max(1, math.round(bi.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(bi, 0, 0, nw, nh, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+    }
   }
 
   /** Frame sampling plan for videos: every `everyMs` ms up to `maxFrames`

@@ -81,4 +81,43 @@ class EdgeStreamSpec extends SparkSpec {
       assert(totals == Map(1L -> 3L, 2L -> 1L)) // state carried, not recounted
     } finally q.stop()
   }
+
+  test("writeStream restart from a checkpoint: exactly-once edges across stop/restart") {
+    val root = java.nio.file.Files.createTempDirectory("graft-es-restart").toString
+    val landing = s"$root/landing"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    val moduleDim = dim.toDF("module", "dst")
+    val schema = implicitly[org.apache.spark.sql.Encoder[FileEvent]].schema
+    def startQ() =
+      EdgeStream.edges(spark.readStream.schema(schema).parquet(landing), moduleDim)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // batch 1 lands, is processed, and the query STOPS
+    Seq(
+      FileEvent(1L, "src/a/A.scala", "scala", "import graftmod.Mod_1", tsAt(0)),
+      FileEvent(2L, "src/b/B.py", "py", "from graftmod import mod_2", tsAt(1))
+    ).toDF().write.mode("append").parquet(landing)
+    val q1 = startQ()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // batch 2 lands while the query is DOWN; a restart from the same
+    // checkpoint must pick it up without re-emitting batch 1
+    Seq(FileEvent(3L, "src/c/C.c", "c", "#include \"mod_2.h\"", tsAt(3)))
+      .toDF().write.mode("append").parquet(landing)
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+
+    // a third restart with NOTHING new must add nothing
+    val q3 = startQ()
+    q3.processAllAvailable()
+    q3.stop()
+
+    val got = spark.read.parquet(sink).as[(Long, Long)].collect()
+    assert(got.length == 3, s"exactly-once violated: ${got.toSeq}")
+    assert(got.toSet == Set((1L, 100L), (2L, 200L), (3L, 200L)))
+  }
 }
