@@ -68,6 +68,15 @@ object LinkProb {
     features.withColumn("proba", lit(1.0) / (lit(1.0) + exp(-z)))
   }
 
+  /** Nonlinear backend — same scoring contract, proba from a trained
+    * extra-trees ensemble (TreeEnsemble.train): the engine analog of the
+    * reference's ExtraTrees edge model (new_data_model.py:159-161).
+    * Like `score`, a single codegen'd projection (the model ships as
+    * plan literals).
+    */
+  def scoreTree(features: DataFrame, model: TreeEnsemble.Model): DataFrame =
+    features.withColumn("proba", TreeEnsemble.predictCol(model))
+
   /** The `edge_proba` product (compute_link_prob.py:29-31): key columns +
     * proba only.
     */
