@@ -94,6 +94,12 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 4).as("spend"))
       TopK.withTies(spend, "spend", 10)
     }),
+    // --- per-group tie-inclusive head-k (W5) --------------------------------
+    "q_head_k" -> ((s, d) => {
+      TopK.withTiesPerGroup(
+        t(s, d, "customer").select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+        Seq("c_nationkey"), "c_acctbal", 5)
+    }),
     // --- h-index (A8) ---------------------------------------------------------
     "q_hindex" -> ((s, d) => {
       val cites = t(s, d, "lineitem").groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
@@ -1145,6 +1151,12 @@ object SparkEntry {
          SELECT o_custkey, spend FROM
          (SELECT o_custkey, spend, rank() OVER (ORDER BY spend DESC) AS r FROM spend)
          WHERE r <= 10""",
+    "q_head_k" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM
+         (SELECT c_nationkey, c_custkey, c_acctbal,
+            rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS r
+          FROM customer)
+         WHERE r <= 5""",
     "q_hindex" ->
       """WITH cites AS (
            SELECT o_custkey, count(*) AS c FROM lineitem
