@@ -320,6 +320,16 @@ object SparkEntry {
             round(col("proba"), 6).as("proba"))
       }
     }),
+    // --- M2 nonlinear backend: extra-trees scorer over the same universe ---------------------------------------------------------------
+    "q_link_prob_tree" -> ((s, d) => {
+      linkUniverse(s, d) match { case (edges, papers, authors, emb) =>
+        LinkProb.scoreTree(
+          LinkFeatures.allFeatures(edges, papers, authors, emb, s.emptyDataFrame.select()),
+          graft.analytics.TreeEnsemble.DefaultModel)
+          .select(col("citingpaperID"), col("citedpaperID"), col("authorID"),
+            round(col("proba"), 6).as("proba"))
+      }
+    }),
     // --- X12: abstract prefix strip + dedup merge --------------------------------------------------------------------------------------
     "q_abstract_merge" -> ((s, d) => {
       val abs = t(s, d, "documents").select(
@@ -792,6 +802,32 @@ object SparkEntry {
         FROM feat"""
   }
 
+  /** Tree-backend oracle: the shipped 16-tree literal model transcribed
+    * to nested CASE expressions over the same imputed features — the
+    * expression tree (and so the IEEE addition order) matches
+    * TreeEnsemble.predictCol exactly, which is what lets round(...,6)
+    * hash-match.
+    */
+  private def linkProbTreeOracle: String = {
+    val m = graft.analytics.TreeEnsemble.DefaultModel
+    def imp(f: String): String = f match {
+      // correlation features are null in this universe, like linkProbOracle
+      case "cross_correlation" | "window_cross_correlation" => "(-2.0)"
+      case c => s"coalesce(CAST($c AS DOUBLE), -2.0)"
+    }
+    def node(t: Array[graft.analytics.TreeEnsemble.Node], i: Int): String = {
+      val nd = t(i)
+      if (nd.feature < 0) nd.prob.toString
+      else s"(CASE WHEN ${imp(m.features(nd.feature))} < ${nd.threshold} " +
+        s"THEN ${node(t, 2 * i)} ELSE ${node(t, 2 * i + 1)} END)"
+    }
+    val sum = m.trees.map(t => node(t, 1)).mkString(" + ")
+    s"""$linkUniverseSql
+        SELECT citingpaperID, citedpaperID, authorID,
+               round(($sum) / ${m.numTrees}.0, 6) AS proba
+        FROM feat"""
+  }
+
   /** Venue-cascade oracle: stage table (0 exact, 1 contains, 2+k rewrite
     * k) joined to the dim with the same case-insensitive predicates, min
     * stage wins, unmatched keeps a null row — the SQL twin of
@@ -1121,6 +1157,7 @@ object SparkEntry {
     "q_embed" -> embedOracle,
     "q_link_features" -> linkFeaturesOracle,
     "q_link_prob" -> linkProbOracle,
+    "q_link_prob_tree" -> linkProbTreeOracle,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

@@ -29,6 +29,17 @@ class TreeEnsembleSpec extends SparkSpec {
     }
   }
 
+  test("DefaultModel is exactly the trained literal (golden, TrainTreeModel)") {
+    val t = TreeEnsemble.train(
+      TreeEnsemble.syntheticLabeledNonlinear(spark, 20000L), F, "label",
+      numTrees = 16, maxDepth = 3)
+    val m = TreeEnsemble.DefaultModel
+    assert(t.trees.length == m.trees.length)
+    t.trees.zip(m.trees).zipWithIndex.foreach { case ((ta, tb), i) =>
+      assert(ta.sameElements(tb), s"tree $i differs from the shipped literal")
+    }
+  }
+
   test("trees express the XOR interaction a linear model cannot (CV)") {
     val data = TreeEnsemble.syntheticLabeledNonlinear(spark, 8000L)
     val tree = TreeEnsemble.crossValidate(data, F, "label", "id", folds = 5, numTrees = 32)
