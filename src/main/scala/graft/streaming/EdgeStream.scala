@@ -57,6 +57,24 @@ object EdgeStream {
       .groupBy(window(col("ts"), windowLength), col("dst"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup — the streaming face of the batch dedup
+    * family (textops.Dedup.exact): drop repeats of `keyCols` arriving
+    * within the watermark horizon. dropDuplicatesWithinWatermark keeps
+    * state only for `lateness` of event time (bounded state — the 100 TB
+    * answer; an unbounded dropDuplicates would grow state forever), so a
+    * duplicate arriving later than the horizon is deliberately re-kept:
+    * the contract is "exactly-once within the lateness window", and the
+    * batch exact-dedup pass downstream remains the global guarantee.
+    */
+  def dedupWithinWatermark(
+      withTime: DataFrame,
+      keyCols: Seq[String],
+      lateness: String = "10 minutes"
+  ): DataFrame =
+    withTime
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Cumulative out-degree per source across ALL batches so far —
     * explicit keyed state via mapGroupsWithState (update output mode).
     * State is one long per distinct source; a TTL would ride

@@ -120,4 +120,32 @@ class EdgeStreamSpec extends SparkSpec {
     assert(got.length == 3, s"exactly-once violated: ${got.toSeq}")
     assert(got.toSet == Set((1L, 100L), (2L, 200L), (3L, 200L)))
   }
+
+  test("dedupWithinWatermark drops in-horizon repeats, re-keeps past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EdgeEvent]
+    val q = EdgeStream.dedupWithinWatermark(mem.toDF(), Seq("src", "dst"), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("es_dedup").outputMode("append").start()
+    try {
+      mem.addData(
+        EdgeEvent(1L, 100L, tsAt(0)),
+        EdgeEvent(1L, 100L, tsAt(1)), // duplicate within the horizon
+        EdgeEvent(2L, 200L, tsAt(2)))
+      q.processAllAvailable()
+      mem.addData(EdgeEvent(1L, 100L, tsAt(3))) // still within horizon -> dropped
+      q.processAllAvailable()
+      assert(spark.table("es_dedup").as[(Long, Long, java.sql.Timestamp)].collect()
+        .map(e => (e._1, e._2)).toSeq.sorted == Seq((1L, 100L), (2L, 200L)))
+      // advance event time far past the watermark horizon; the old key's
+      // dedup state has expired, so the same (src, dst) is kept again
+      mem.addData(EdgeEvent(9L, 900L, tsAt(59)))
+      q.processAllAvailable()
+      mem.addData(EdgeEvent(1L, 100L, tsAt(58)))
+      q.processAllAvailable()
+      val keys = spark.table("es_dedup").as[(Long, Long, java.sql.Timestamp)].collect()
+        .map(e => (e._1, e._2)).toSeq
+      assert(keys.count(_ == (1L, 100L)) == 2,
+        s"expected the post-horizon repeat to be re-kept: $keys")
+    } finally q.stop()
+  }
 }
