@@ -94,6 +94,21 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 4).as("spend"))
       TopK.withTies(spend, "spend", 10)
     }),
+    // --- deterministic HLL cardinality sketch (scaled-integer registers) ----
+    "q_hll_distinct" -> ((s, d) => {
+      import graft.functions.Sketches
+      val li = t(s, d, "lineitem")
+      val est = Sketches.hllEstimate(Sketches.hllRegisters(li, col("l_orderkey")))
+      val exact = li.agg(count_distinct(col("l_orderkey")).as("n_exact"))
+      est.crossJoin(exact)
+    }),
+    // --- deterministic bottom-k uniform sample ------------------------------
+    "q_det_sample" -> ((s, d) => {
+      import graft.functions.Sketches
+      Sketches.deterministicSample(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        col("c_custkey"), 20)
+    }),
     // --- per-group tie-inclusive head-k (W5) --------------------------------
     "q_head_k" -> ((s, d) => {
       TopK.withTiesPerGroup(
@@ -648,6 +663,33 @@ object SparkEntry {
   private def md5h60(expr: String, seed: Int): String =
     s"CAST(concat('0x', substr(md5(concat('$seed:', $expr)), 1, 15)) AS BIGINT)"
 
+  /** HLL oracle: identical register math in DuckDB — md5-derived 60-bit
+    * hash, integer bit-length ranks (`length(bin(w))`, no float log),
+    * BIGINT-scaled register sum, and the ONE float expression (the raw
+    * estimate) built from the same Scala-printed literal as the engine's,
+    * so even the estimate hash-matches. Constants: 2^52-1 mask, 2^53
+    * scale, alpha·m²·2^53 numerator from graft.functions.Sketches.
+    */
+  private def hllOracle: String = {
+    import graft.functions.Sketches
+    val mask = (1L << 52) - 1
+    val numer = Sketches.Alpha * Sketches.M.toDouble * Sketches.M.toDouble * 9007199254740992.0
+    s"""WITH h AS (SELECT ${md5h60("CAST(l_orderkey AS VARCHAR)", 0)} AS h FROM lineitem),
+        br AS (SELECT h >> 52 AS bucket,
+                      CASE WHEN (h & $mask) = 0 THEN 53
+                           ELSE 53 - length(bin(h & $mask)) END AS rank
+               FROM h),
+        regs AS (SELECT bucket, max(rank) AS r FROM br GROUP BY 1),
+        agg AS (SELECT count(*) AS occupied,
+                       CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s_occupied
+                FROM regs)
+        SELECT CAST(occupied AS BIGINT) AS occupied,
+               CAST(s_occupied + (${Sketches.M}::BIGINT - occupied) * ${1L << 53}::BIGINT AS BIGINT) AS s_scaled,
+               round($numer / CAST(s_occupied + (${Sketches.M}::BIGINT - occupied) * ${1L << 53}::BIGINT AS DOUBLE), 6) AS estimate,
+               (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_exact
+        FROM agg"""
+  }
+
   /** MinHash+LSH oracle: recompute the 32 md5-based minhashes, band into
     * 8 bands of 4, candidate pairs share a band tuple, verify estimated
     * jaccard >= 0.5 — mirrors Dedup.minhashLshPairs(n=5, 32, 8, 0.5).
@@ -1188,6 +1230,11 @@ object SparkEntry {
          SELECT o_custkey, spend FROM
          (SELECT o_custkey, spend, rank() OVER (ORDER BY spend DESC) AS r FROM spend)
          WHERE r <= 10""",
+    "q_hll_distinct" -> hllOracle,
+    "q_det_sample" ->
+      s"""SELECT c_custkey, c_name FROM customer
+          ORDER BY ${md5h60("CAST(c_custkey AS VARCHAR)", 0)}, CAST(c_custkey AS VARCHAR)
+          LIMIT 20""",
     "q_head_k" ->
       """SELECT c_nationkey, c_custkey, c_acctbal FROM
          (SELECT c_nationkey, c_custkey, c_acctbal,
