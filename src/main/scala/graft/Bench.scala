@@ -65,19 +65,15 @@ object Bench {
   // Fixed single-thread work, deliberately MEMORY-BANDWIDTH bound (the
   // resource co-tenant regimes actually contend on): strided passes over a
   // 256 MB long array. ~0.5-1.5 s on an idle box; drifts up under the same
-  // regimes that inflate the large leg. Allocated once, touched fully on
-  // first use (page-in outside every timed probe).
-  private lazy val calibArray: Array[Long] = {
-    val a = new Array[Long](32 * 1024 * 1024)
-    var i = 0
-    while (i < a.length) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
-    a
-  }
-
+  // regimes that inflate the large leg. Allocated + initialized per probe
+  // OUTSIDE the timed section and released right after — holding 256 MB
+  // for the whole run would shrink the measured sweep/north heap.
   @volatile private var calibSink: Long = 0L
 
   private def calibrate(): Double = {
-    val a = calibArray
+    val a = new Array[Long](32 * 1024 * 1024)
+    var init = 0
+    while (init < a.length) { a(init) = init * 0x9E3779B97F4A7C15L; init += 1 }
     var sink = 0L
     val t0 = System.nanoTime()
     var pass = 0

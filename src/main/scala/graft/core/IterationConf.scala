@@ -31,6 +31,12 @@ object IterationConf {
     * results back with `rebind(result, spark)` so downstream caller
     * queries keep the caller's conf (AQE, broadcast) — checkpointed /
     * cached fragments are shared through SharedState either way.
+    *
+    * Lifecycle: a clone cannot be stop()ed (that would stop the shared
+    * SparkContext); its SessionState and listener-bus registration are
+    * reclaimed when the clone is GC'd (Spark holds them weakly), so a
+    * loop-per-call service retains at most the clones created since the
+    * last GC — bounded, but worth knowing in a long-lived driver.
     */
   def withLoopSession[A](spark: SparkSession, loopParts: Int)(body: SparkSession => A): A = {
     val loop = GraftSessionBridge.cloneSession(spark)

@@ -105,15 +105,24 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nVerts = allVerts.count()
-    val Pr = graft.core.IterationConf.sizedPartitions(sessionParts, nVerts)
+    // Materialize e0 HERE, on the caller's session: its normalize +
+    // distinct is the one full-edge-table shuffle of the algorithm and
+    // must run at the session's partition count, not the loop's (Pr can
+    // be 1 for a small component graph while the raw edge table is huge).
+    val e0c = e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val m0 = e0c.count()
+    // loop shuffles sized to the LOOP data: the round-1 frontier is m0
+    // edges, so size to the larger of vertex and initial-edge count
+    val Pr = graft.core.IterationConf.sizedPartitions(sessionParts, math.max(nVerts, m0))
     graft.core.IterationConf.withLoopSession(callerSpark, Pr) { spark =>
 
     // Eager localCheckpoint per round: truncates lineage and avoids the
     // CacheManager invalidate-rebuild trap of persist/unpersist chains
     // (see PageRank.iterate).
-    var e = graft.core.IterationConf.rebind(e0, spark)
+    var e = graft.core.IterationConf.rebind(e0c, spark)
       .repartition(Pr, col("u"))
       .localCheckpoint(true)
+    e0c.unpersist(false)
     var rounds = round0
     var stable = false
     var prevSig: (Long, Long) = signature(e)

@@ -42,10 +42,16 @@ import org.apache.spark.sql.functions._
   * A writer CLAIMS its version number before writing by atomically
   * creating `_lock_v<N>` (create with overwrite=false — atomic on HDFS;
   * a conditional put on object stores), retrying on the next number if
-  * taken. Two racing writers therefore write disjoint version
-  * directories; the pointer rename serializes visibility. Lost-update
-  * anomalies between overlapping key sets remain possible (last pointer
-  * wins) — the same contract as REPLACE INTO under concurrent clients.
+  * taken; a FAILED attempt keeps its lock so its version number (and any
+  * partial `bucket=<b>/v<N>` leftovers) can never be re-claimed. Two
+  * racing writers therefore write disjoint version directories, and each
+  * re-reads the freshest pointer just before its swap so commits to
+  * DISJOINT buckets compose in practice. The swap itself is still a
+  * whole-file last-writer-wins (plain filesystems have no compare-and-
+  * swap): truly concurrent commits can lose the earlier pointer in the
+  * re-read→rename window, so strict serialization needs a single writer
+  * per table (or the Iceberg seam's optimistic commit protocol) — the
+  * same operational contract as the reference's single MySQL writer.
   *
   * Scale: one shuffle (the anti join on the key) over only the touched
   * buckets' data; the update side is broadcast when small. No
@@ -137,6 +143,11 @@ object TableUpsert {
     }
     require(lock != null, s"could not claim a version for $tableDir after $attempts attempts")
 
+    // pin the updates plan: the touched-bucket collect and the staging
+    // write must see the SAME rows even for nondeterministic inputs
+    // (sample/limit/rand), or the touched set and staged dirs diverge
+    upd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var committed = false
     try {
       // touched buckets: at most B driver-side ints, never data rows
       val touched = upd.select(col("__bucket")).distinct()
@@ -156,22 +167,32 @@ object TableUpsert {
       }
       // ONE write job for every touched bucket (partitionBy drops the
       // synthetic __bucket column from the data files), then a per-bucket
-      // directory rename — metadata ops, no data movement.
+      // directory rename — metadata ops, no data movement. The rename
+      // source of truth is what was actually STAGED (listed back), and a
+      // failed rename aborts the commit rather than silently committing a
+      // pointer to a missing directory.
       val staging = s"$tableDir/_staging_v$n"
       merged.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
-      touched.foreach { b =>
-        val src = new org.apache.hadoop.fs.Path(s"$staging/__bucket=$b")
-        if (f.exists(src)) {
-          val dstDir = new org.apache.hadoop.fs.Path(s"$tableDir/bucket=$b")
-          f.mkdirs(dstDir)
-          f.rename(src, new org.apache.hadoop.fs.Path(dstDir, s"v$n"))
-        }
+      val staged = f.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("__bucket="))
+        .map(p => p.getName.stripPrefix("__bucket=").toInt -> p)
+        .sortBy(_._1)
+      staged.foreach { case (b, src) =>
+        val dstDir = new org.apache.hadoop.fs.Path(s"$tableDir/bucket=$b")
+        f.mkdirs(dstDir)
+        val dst = new org.apache.hadoop.fs.Path(dstDir, s"v$n")
+        require(f.rename(src, dst), s"rename $src -> $dst failed; aborting commit")
       }
       f.delete(new org.apache.hadoop.fs.Path(staging), true)
 
       // ---- atomic pointer swap -----------------------------------------
-      val newMap = st.map(_.bucketVersions).getOrElse(Map.empty[Int, Long]) ++
-        touched.map(_ -> n)
+      // Re-read the freshest committed map and overlay ONLY this commit's
+      // staged buckets, so a concurrent writer's commit to DISJOINT
+      // buckets is not reverted by our stale snapshot. (The swap itself
+      // is whole-file last-writer-wins — see the concurrency note above.)
+      val base = readState(spark, tableDir).map(_.bucketVersions)
+        .getOrElse(st.map(_.bucketVersions).getOrElse(Map.empty[Int, Long]))
+      val newMap = base ++ staged.map(_._1 -> n)
       val body = (Seq(s"version=$n", s"buckets=$B") ++
         newMap.toSeq.sortBy(_._1).map { case (b, v) => s"b:$b=$v" }).mkString("\n")
       val tmp = new org.apache.hadoop.fs.Path(root, s"_current.tmp$n")
@@ -181,7 +202,16 @@ object TableUpsert {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         root.toUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      read(spark, tableDir).get
-    } finally f.delete(lock, false)
+      committed = true
+      // empty-batch upsert of a fresh table commits an empty map: return
+      // an empty frame with the updates' schema rather than throwing
+      read(spark, tableDir).getOrElse(updates.limit(0))
+    } finally {
+      upd.unpersist(false)
+      // release the claim ONLY on success: a failed attempt keeps its
+      // lock so the version number is burned and no later writer can
+      // rename over this attempt's partial bucket=*/v<n> leftovers
+      if (committed) f.delete(lock, false)
+    }
   }
 }

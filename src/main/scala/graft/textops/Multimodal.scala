@@ -187,7 +187,12 @@ object Multimodal {
         else {
           val nw = math.max(1, math.round(bi.getWidth * scale).toInt)
           val nh = math.max(1, math.round(bi.getHeight * scale).toInt)
-          val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // preserve the alpha channel when the source has one — drawing
+          // onto an RGB canvas would composite transparency to black
+          val outType =
+            if (bi.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val out = new java.awt.image.BufferedImage(nw, nh, outType)
           val g = out.createGraphics()
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)

@@ -133,15 +133,22 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.linalg.Vectors
     require(nprobe <= nlist)
-    // ---- quantizer fit: bounded sample; the ONLY non-Catalyst step ------
-    val corpusRows = corpus.count()
-    val fitFraction = math.min(1.0, fitSampleCap.toDouble / math.max(1L, corpusRows))
+    // ---- quantizer fit: bounded per-partition head sample ---------------
+    // No corpus.count(): an exact count is itself a full pass at the
+    // scale this function targets. Instead take the HEAD of every
+    // partition (cap/numPartitions rows each): one short read per
+    // partition (a parquet reader stops after its first row groups),
+    // spread across the whole dataset, deterministic for a fixed
+    // partitioning. The ONLY non-Catalyst step.
     val toUnitVec = udf { a: Seq[Float] =>
       val d = a.map(_.toDouble).toArray
       val n = math.sqrt(d.map(x => x * x).sum)
       Vectors.dense(if (n == 0) d else d.map(_ / n))
     }
-    val fitRows = (if (fitFraction < 1.0) corpus.sample(withReplacement = false, fitFraction, seed) else corpus)
+    val embOnly = corpus.select(col("embedding"))
+    val perPart = math.max(1L, fitSampleCap / math.max(1, embOnly.rdd.getNumPartitions)).toInt
+    val fitRows = corpus.sparkSession
+      .createDataFrame(embOnly.rdd.mapPartitions(_.take(perPart)), embOnly.schema)
       .withColumn("features", toUnitVec(col("embedding")))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(20).fit(fitRows)

@@ -89,4 +89,15 @@ class TableUpsertSpec extends SparkSpec {
     val got = TableUpsert.read(spark, dir).get.as[(Long, String)].collect().toMap
     assert(got(7L) == "SEVEN" && got(8L) == "v8" && got.size == 200)
   }
+
+  test("empty update batch commits cleanly and returns an empty frame") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_empty").toString
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    // fresh table: nothing to read back yet -> empty frame, no throw
+    assert(TableUpsert.upsert(spark, dir, empty, Seq("k")).count() == 0L)
+    // populated table: an empty batch must not disturb committed rows
+    TableUpsert.upsert(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    val after = TableUpsert.upsert(spark, dir, empty, Seq("k"))
+    assert(after.as[(Long, String)].collect().toMap == Map(1L -> "a", 2L -> "b"))
+  }
 }
