@@ -128,11 +128,19 @@ object ConnectedComponents {
     var prevSig: (Long, Long) = signature(e)
 
     while (!stable && rounds < maxRounds) {
+      // CC's frontier SHRINKS as stars collapse: re-size this round's
+      // shuffles (the groupBy/joins inside large/small-star read the
+      // session conf) to the previous round's measured frontier. The
+      // loop session is private to this call, so the per-round conf.set
+      // races with nothing.
+      val PrRound = graft.core.IterationConf.sizedPartitions(
+        sessionParts, math.max(prevSig._1, nVerts))
+      spark.conf.set("spark.sql.shuffle.partitions", PrRound.toString)
       val bidirL = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val afterLarge = largeStar(bidirL)
       val bidirS = afterLarge.union(afterLarge.select(col("v").as("u"), col("u").as("v")))
       var next = smallStar(bidirS)
-        .repartition(Pr, col("u"))
+        .repartition(PrRound, col("u"))
         .localCheckpoint(true)
       val sig = signature(next)
       rounds += 1
@@ -145,7 +153,7 @@ object ConnectedComponents {
           next = Supersteps.commit(spark, runDir, rounds, next,
             Map("round" -> rounds.toDouble, "frontier_edges" -> sig._1.toDouble,
               "stable" -> (if (stable) 1.0 else 0.0)))
-            .repartition(Pr, col("u"))
+            .repartition(PrRound, col("u"))
             .localCheckpoint(true)
           releaseCheckpoint(before)
         case _ => ()
