@@ -144,6 +144,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // == Wall-clock budget (VERDICT r4 #1) ==
+    // The driver kills an over-long bench (r4: rc 124, artifact lost), so
+    // the run tracks its own elapsed time against SPARK_GRAFT_BENCH_BUDGET
+    // and degrades DETERMINISTICALLY when behind: later leg-window pairs,
+    // the contention retry, and the edge build are skipped (in that
+    // priority order) before anything gate-critical. Every phase boundary
+    // rewrites BENCH/last_run.json with the fields known so far, and a
+    // shutdown hook writes once more on SIGTERM — a killed run still
+    // leaves parseable evidence of everything it finished.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1700").toDouble
+    val benchT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
+    def remaining: Double = budgetSec - elapsed
     // Shuffle through tmpfs when available: local mode funnels every
     // shuffle byte through ONE device, a single-box artifact a cluster
     // doesn't have (per-executor disks); /dev/shm removes it.
@@ -186,30 +199,39 @@ object Bench {
     // Contention handling: a leg whose windows disagree by >25%, or a
     // calibration probe that drifted >25% across the run, marks the run
     // contended; the noisy leg gets ONE extra window (at yet another cpu
-    // range) so min-selection has a chance at a clean sample.
-    def contentionPass(): (Boolean, Double) = {
+    // range, budget permitting) so min-selection has a chance at a clean
+    // sample. The fresh-base search is BOUNDED (ADVICE r4): only bases
+    // that actually fit the machine are considered, else fall back to 0.
+    def contentionPass(canRerun: Int => Boolean): (Boolean, Double) = {
       val calibs = windows.map(_.calibSec)
       val calibDrift = if (calibs.size < 2) 0.0 else (calibs.max - calibs.min) / calibs.min
       var contended = calibDrift > 0.25
       Seq(coresSmall, coresLarge).foreach { c =>
         if (spreadOf(legWindows(c)) > 0.25) {
           contended = true
-          val usedBases = legWindows(c).map(_.cpuBase).toSet
-          val freshBase = Iterator.from(0, c).find(b => !usedBases.contains(b) && b + c <= Runtime.getRuntime.availableProcessors()).getOrElse(0)
-          runLegs((c, freshBase))
+          if (canRerun(c)) {
+            val usedBases = legWindows(c).map(_.cpuBase).toSet
+            val freshBase = Iterator.from(0, c)
+              .takeWhile(_ + c <= Runtime.getRuntime.availableProcessors())
+              .find(b => !usedBases.contains(b)).getOrElse(0)
+            runLegs((c, freshBase))
+          }
         }
       }
       (contended, calibDrift)
     }
-    def currentEff: (Double, Double, Double, Leg, Leg) = {
-      val legSmall = legWindows(coresSmall).map(_.leg).minBy(_.total)
-      val legLarge = legWindows(coresLarge).map(_.leg).minBy(_.total)
-      val r = coresLarge.toDouble / coresSmall
-      ((legSmall.total / legLarge.total) / r,
-        (legSmall.loop / legLarge.loop) / r,
-        (legSmall.prepare / legLarge.prepare) / r,
-        legSmall, legLarge)
-    }
+    def currentEff: Option[(Double, Double, Double, Leg, Leg)] =
+      (legWindows(coresSmall), legWindows(coresLarge)) match {
+        case (s, l) if s.nonEmpty && l.nonEmpty =>
+          val legSmall = s.map(_.leg).minBy(_.total)
+          val legLarge = l.map(_.leg).minBy(_.total)
+          val r = coresLarge.toDouble / coresSmall
+          Some(((legSmall.total / legLarge.total) / r,
+            (legSmall.loop / legLarge.loop) / r,
+            (legSmall.prepare / legLarge.prepare) / r,
+            legSmall, legLarge))
+        case _ => None
+      }
     def legsJson: String = windows.map { w =>
       s"""{"cores":${w.cores},"cpu_base":${w.cpuBase},"t":${"%.2f".format(w.leg.total)},""" +
       s""""prepare":${"%.2f".format(w.leg.prepare)},"loop":${"%.2f".format(w.leg.loop)},""" +
@@ -218,78 +240,163 @@ object Bench {
     def forksJson: String =
       s"""{"small":${legWindows(coresSmall).size},"large":${legWindows(coresLarge).size}}"""
 
+    // ---- incremental artifact + budget telemetry -------------------------
+    // Every phase boundary rewrites BENCH/last_run.json from the state
+    // below; the shutdown hook repeats that on SIGTERM. "partial":true
+    // marks any write before normal completion.
+    var queryTimes: Seq[(String, Double)] = Nil
+    var sweepSkipped = 0
+    var north: Option[graft.graph.PageRankResult] = None
+    var edgeBuild: Option[(Long, Long, Double)] = None // (corpusRows, edges, secs)
+    var contendedFlag = false
+    var calibDriftV = 0.0
+    val phaseLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val skippedPhases = scala.collection.mutable.ArrayBuffer.empty[String]
+    def donePhase(name: String): Unit = { phaseLog(name) = elapsed; writeArtifact(partial = true) }
+    def skipPhase(name: String): Unit = {
+      skippedPhases += name
+      System.err.println(f"bench budget: skipping $name (elapsed $elapsed%.0f s of $budgetSec%.0f s)")
+    }
+
+    def buildJson(partial: Boolean): String = {
+      val probeIterCount = north.map(_.iterations).getOrElse(0)
+      val edgesPerSecPerIter = north.map(r => r.edgeCount.toDouble * r.iterations / r.loopSeconds)
+      val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+      val totalQuerySecs = queryTimes.map(_._2).filter(_ >= 0).sum
+      val budgetJson =
+        s"""{"budget_sec":${"%.0f".format(budgetSec)},"elapsed_sec":${"%.1f".format(elapsed)},""" +
+        s""""phases":${phaseLog.map { case (k, v) => s""""$k":${"%.1f".format(v)}""" }.mkString("{", ",", "}")},""" +
+        s""""skipped":${skippedPhases.map(p => s""""$p"""").mkString("[", ",", "]")},""" +
+        s""""sweep_queries_skipped":$sweepSkipped}"""
+      val pagerankJson = north.map { r =>
+        s"""{"edges":${r.edgeCount},"vertices":${r.vertexCount},"iterations":${r.iterations},""" +
+        s""""loop_sec":${"%.2f".format(r.loopSeconds)},"prepare_sec":${"%.2f".format(r.prepareSeconds)},"converged":${r.converged}}"""
+      }.getOrElse("null")
+      val edgeJson = edgeBuild.map { case (rows, n, secs) =>
+        s"""{"corpus_rows":$rows,"edges":$n,"seconds":${"%.2f".format(secs)},"edges_per_sec":${"%.1f".format(n / secs)}}"""
+      }.getOrElse("null")
+      val effJson = currentEff.map { case (e, el, ep, legSmall, legLarge) =>
+        s""""t_small_sec":${"%.2f".format(legSmall.total)},"t_large_sec":${"%.2f".format(legLarge.total)},""" +
+        s""""loop_small_sec":${"%.2f".format(legSmall.loop)},"loop_large_sec":${"%.2f".format(legLarge.loop)},""" +
+        s""""prepare_small_sec":${"%.2f".format(legSmall.prepare)},"prepare_large_sec":${"%.2f".format(legLarge.prepare)},""" +
+        s""""efficiency":${"%.3f".format(e)},"efficiency_loop":${"%.3f".format(el)},"efficiency_prepare":${"%.3f".format(ep)}"""
+      }.getOrElse(""""efficiency":null""")
+      val isolation = windows.map(_.isolation).distinct.mkString("+")
+      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${edgesPerSecPerIter.map(v => "%.1f".format(v)).getOrElse("-1")},"unit":"edges/sec","partial":$partial,"queries":$qs,"sf":"$sfDir",""" +
+      s""""query_total_sec":${"%.2f".format(totalQuerySecs)},""" +
+      s""""shuffle_dir":"$shuffleDir","budget":$budgetJson,""" +
+      s""""pagerank":$pagerankJson,""" +
+      s""""edge_build":$edgeJson,""" +
+      s""""scaling":{"cores_small":$coresSmall,"cores_large":$coresLarge,"probe_iters":$probeIters,""" +
+      s""""fixed_shuffle_partitions":$scaleParts,"isolation":"$isolation","shuffle_dir":"$shuffleDir","forks_per_leg":$forksJson,"selection":"min",""" +
+      s""""contended":$contendedFlag,"calib_drift":${"%.3f".format(calibDriftV)},"legs":$legsJson,""" +
+      s"""$effJson}}"""
+    }
+    def writeArtifact(partial: Boolean): Unit = {
+      new java.io.File("BENCH").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH/last_run.json"),
+        (buildJson(partial) + "\n").getBytes("UTF-8"))
+    }
+    val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // SIGTERM (driver timeout): leave the best partial evidence we have,
+      // on stdout AND in the artifact file.
+      if (!finished.get()) {
+        val j = buildJson(partial = true)
+        System.out.println(j)
+        System.out.flush()
+        try writeArtifact(partial = true) catch { case _: Throwable => () }
+      }
+    }, "graft-bench-artifact-hook"))
+
     // windows 1+2 (before the sweep)
     runLegs((coresSmall, 0), (coresLarge, 0))
+    donePhase("legs_w12")
+    // measured cost of one more window pair (fork + run, calib ~2 s each)
+    def pairCost: Double =
+      currentEff.map { case (_, _, _, s, l) => s.total + l.total + 10.0 }.getOrElse(200.0)
 
     // dev escape hatch: legs only (skip sweep/north/edge build) — runs
     // the full symmetric window schedule back-to-back
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1")) {
       runLegs((coresSmall, coresSmall), (coresLarge, coresLarge),
         (coresSmall, 2 * coresSmall), (coresLarge, 2 * coresLarge))
-      val (contended, calibDrift) = contentionPass()
-      val (e, el, ep, _, _) = currentEff
+      val (contended, calibDrift) = contentionPass(_ => true)
+      val (e, el, ep, _, _) = currentEff.get
+      finished.set(true)
       println(s"""{"scale_only":true,"efficiency":${"%.3f".format(e)},"efficiency_loop":${"%.3f".format(el)},"efficiency_prepare":${"%.3f".format(ep)},"contended":$contended,"calib_drift":${"%.3f".format(calibDrift)},"forks_per_leg":$forksJson,"legs":$legsJson}""")
       return
     }
 
     // ---- session: query sweep + north convergence + edge build -----------
     val sparkBig = Sessions.local(cpus, "graft-bench")
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Reserve time after the sweep for the north run + finalization; under
+    // a heavily-contended regime the sweep itself may have to stop early
+    // (remaining queries recorded as skipped, never silently absent).
+    val sweepReserve = 150.0
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val measured = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var sweepIdx = 0
+    while (sweepIdx < sortedQueries.size && (remaining > sweepReserve || sweepIdx == 0)) {
+      val (name, fn) = sortedQueries(sweepIdx)
       val (_, secs) = try timed(fn(sparkBig, sfDir).count()) catch { case _: Throwable => (0L, -1.0) }
-      name -> secs
+      measured += (name -> secs)
+      sweepIdx += 1
     }
-    val totalQuerySecs = queryTimes.map(_._2).filter(_ >= 0).sum
+    sweepSkipped = sortedQueries.size - sweepIdx
+    if (sweepSkipped > 0) skipPhase(s"sweep_tail_$sweepSkipped")
+    queryTimes = measured.toSeq
+    donePhase("sweep")
 
     // windows 3+4, far from windows 1+2 in wall time (parent session is
-    // idle while a forked leg runs — no CPU competition)
-    runLegs((coresSmall, coresSmall), (coresLarge, coresLarge))
+    // idle while a forked leg runs — no CPU competition). Needs the
+    // north-run + finalize reserve to still fit afterwards.
+    if (remaining > pairCost * 1.3 + 150) {
+      runLegs((coresSmall, coresSmall), (coresLarge, coresLarge))
+      donePhase("legs_w34")
+    } else skipPhase("legs_w34")
 
     // North metric: CSR PageRank to 1e-6 on a LARGE graph (per-iteration
     // fixed cost amortized; loopSeconds excludes the one-time graph build).
-    val probeEdgesDs = sparkBig.read.parquet(probePath).as[Edge]
-    val convResult = CsrPageRank.run(probeEdgesDs,
-      PageRankConfig(tol = 1e-6, maxIter = 200, checkpoint = LocalOnly()))
-    val m = convResult.edgeCount
-    val iters = convResult.iterations
-    val edgesPerSecPerIter = m.toDouble * iters / convResult.loopSeconds
+    // Gate-critical: runs unless the budget is essentially exhausted.
+    if (remaining > 90) {
+      val probeEdgesDs = sparkBig.read.parquet(probePath).as[Edge]
+      north = Some(CsrPageRank.run(probeEdgesDs,
+        PageRankConfig(tol = 1e-6, maxIter = 200, checkpoint = LocalOnly())))
+      donePhase("north")
+    } else skipPhase("north")
 
     // windows 5+6: each leg's third sample, after the north run
-    runLegs((coresSmall, 2 * coresSmall), (coresLarge, 2 * coresLarge))
-    val (contended, calibDrift) = contentionPass()
+    if (remaining > pairCost * 1.3 + 60) {
+      runLegs((coresSmall, 2 * coresSmall), (coresLarge, 2 * coresLarge))
+      donePhase("legs_w56")
+    } else skipPhase("legs_w56")
+    val (contended, calibDrift) = contentionPass(c =>
+      remaining > (if (c == coresSmall) pairCost * 0.8 else pairCost * 0.4) + 60)
+    contendedFlag = contended
+    calibDriftV = calibDrift
+    writeArtifact(partial = true)
 
     // Edge-derivation throughput on the corpus contract table.
-    val corpusN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "400000").toLong
-    val edgesPath = s"/tmp/graft_bench_edges_$corpusN"
-    val stamped = Corpus.stamped(Corpus.synthetic(sparkBig, corpusN, repos = 200, maxDegree = 12, seed = 42))
-    val (edgesCount, edgeBuildSecs) = timed {
-      EdgeExtraction.edges(stamped).write.mode("overwrite").parquet(edgesPath)
-      sparkBig.read.parquet(edgesPath).count()
-    }
-    val (effFull, effLoop, effPrep, legSmall, legLarge) = currentEff
-    val isolation = windows.map(_.isolation).distinct.mkString("+")
+    if (remaining > 50) {
+      val corpusN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "400000").toLong
+      val edgesPath = s"/tmp/graft_bench_edges_$corpusN"
+      val stamped = Corpus.stamped(Corpus.synthetic(sparkBig, corpusN, repos = 200, maxDegree = 12, seed = 42))
+      val (edgesCount, edgeBuildSecs) = timed {
+        EdgeExtraction.edges(stamped).write.mode("overwrite").parquet(edgesPath)
+        sparkBig.read.parquet(edgesPath).count()
+      }
+      edgeBuild = Some((corpusN, edgesCount, edgeBuildSecs))
+      donePhase("edge_build")
+    } else skipPhase("edge_build")
 
-    val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"pagerank_edges_per_sec_per_iter","value":${"%.1f".format(edgesPerSecPerIter)},"unit":"edges/sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""query_total_sec":${"%.2f".format(totalQuerySecs)},""" +
-      s""""shuffle_dir":"$shuffleDir",""" +
-      s""""pagerank":{"edges":$m,"vertices":${convResult.vertexCount},"iterations":$iters,"loop_sec":${"%.2f".format(convResult.loopSeconds)},"prepare_sec":${"%.2f".format(convResult.prepareSeconds)},"converged":${convResult.converged}},""" +
-      s""""edge_build":{"corpus_rows":$corpusN,"edges":$edgesCount,"seconds":${"%.2f".format(edgeBuildSecs)},"edges_per_sec":${"%.1f".format(edgesCount / edgeBuildSecs)}},""" +
-      s""""scaling":{"cores_small":$coresSmall,"cores_large":$coresLarge,"probe_edges":$m,"probe_iters":$probeIters,""" +
-      s""""fixed_shuffle_partitions":$scaleParts,"isolation":"$isolation","shuffle_dir":"$shuffleDir","forks_per_leg":$forksJson,"selection":"min",""" +
-      s""""contended":$contended,"calib_drift":${"%.3f".format(calibDrift)},"legs":$legsJson,""" +
-      s""""t_small_sec":${"%.2f".format(legSmall.total)},"t_large_sec":${"%.2f".format(legLarge.total)},""" +
-      s""""loop_small_sec":${"%.2f".format(legSmall.loop)},"loop_large_sec":${"%.2f".format(legLarge.loop)},""" +
-      s""""prepare_small_sec":${"%.2f".format(legSmall.prepare)},"prepare_large_sec":${"%.2f".format(legLarge.prepare)},""" +
-      s""""efficiency":${"%.3f".format(effFull)},"efficiency_loop":${"%.3f".format(effLoop)},"efficiency_prepare":${"%.3f".format(effPrep)}}}"""
+    val json = buildJson(partial = false)
+    finished.set(true)
     println(json)
     // Machine-readable copy for the driver (stdout goes through sbt's
     // logger and is not reliably parseable — BENCH_r01 had parsed:null).
-    val outDir = new java.io.File("BENCH")
-    outDir.mkdirs()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH/last_run.json"),
-      (json + "\n").getBytes("UTF-8"))
+    writeArtifact(partial = false)
     sparkBig.stop()
   }
 }

@@ -82,6 +82,16 @@ object TableUpsert {
         finally in.close()
       if (lines.isEmpty) None
       else {
+        // Pre-bucketed-state pointers were a single line like "v3"; any
+        // line without '=' is that legacy layout (or corruption). Fail
+        // with an explicit message instead of a MatchError — the legacy
+        // layout stored one flat dir per version and cannot be mapped
+        // onto bucketed state without a rewrite.
+        lines.find(!_.contains("=")).foreach { bad =>
+          throw new IllegalStateException(
+            s"unsupported legacy/corrupt _current pointer in $tableDir (line '$bad'): " +
+              "pre-bucketed tables must be re-written via a fresh upsert into a new tableDir")
+        }
         val kv = lines.map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
         Some(TableState(
           kv("version").toLong,
