@@ -368,6 +368,42 @@ object SparkEntry {
             round(col("proba"), 6).as("proba"))
       }
     }),
+    // --- T3-T5 driver check: full per-edge correlation bundle (Pearson + sliding-window + time-lag variants) over derived citation
+    //     series with real (non-null) values — the event derivation is tuned so every semantic regime appears at sf0.01: dense papers
+    //     (non-null correlations), peak-then-silence papers (tail truncation), late-start papers (start gate), sparse papers (total
+    //     gate). Reference semantics: extract_link_features.py:56-180.
+    "q_link_corr" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        (col("o_orderkey") % 700).as("pid"),
+        col("o_orderkey").as("ok"),
+        year(col("o_orderdate")).cast("int").as("yr"))
+      val ev = o.filter(
+        when(col("pid") < 20, col("yr").isin(1995, 2001))
+          .when(col("pid").between(30, 39), col("yr") >= 1999 && col("ok") % 4 =!= 3)
+          .when(col("pid") >= 690, col("ok") % 11 === 0)
+          .otherwise(col("ok") % 4 =!= 3))
+        .select(col("pid").as("paperID"), col("yr").as("year"))
+      val series = TimeSeries.gapFilledSeries(ev, "paperID", "year")
+      val pids = series.select(col("paperID").as("pid"))
+        .filter(col("pid") < 50 || col("pid") >= 690)
+      val edges = pids.select(col("pid").as("citing"))
+        .crossJoin(broadcast(pids.select(col("pid").as("cited"))))
+        .filter(col("citing") =!= col("cited") &&
+          (col("citing") * 31 + col("cited")) % 5 === 0)
+      // cross_correlation may be a genuine NaN (zero variance, numpy
+      // semantics); split it into a null + flag pair so the hash compare
+      // is engine-portable. The window/lag variants are never NaN.
+      TimeSeries.edgeFeatures(edges, series).select(
+        col("citing"), col("cited"),
+        round(when(isnan(col("cross_correlation")), lit(null))
+          .otherwise(col("cross_correlation")), 6).as("cc"),
+        isnan(col("cross_correlation")).cast("long").as("cc_nan"),
+        round(col("window_cross_correlation"), 6).as("wcc"),
+        round(col("negativetimelagged_cross_correlation"), 6).as("ntl"),
+        round(col("timelagged_cross_correlation"), 6).as("tl"),
+        round(col("window_negativetimelagged_cross_correlation"), 6).as("wntl"),
+        round(col("window_timelagged_cross_correlation"), 6).as("wtl"))
+    }),
     // --- X12: abstract prefix strip + dedup merge --------------------------------------------------------------------------------------
     "q_abstract_merge" -> ((s, d) => {
       val abs = t(s, d, "documents").select(
@@ -781,6 +817,118 @@ object SparkEntry {
         SELECT doc_id, ${dim(0)} AS e0, ${dim(1)} AS e1 FROM toks"""
   }
 
+  /** DuckDB twin of the FULL correlation bundle (TimeSeries.features,
+    * reference extract_link_features.py:56-180): gap-filled series, tail
+    * truncation (consecutive-below counter with reset, first-hit cut),
+    * overlap-aligned Pearson (NaN on zero variance), sliding-window
+    * max-|corr| with the `>=` later-window tie-break and `or None` on a
+    * final 0.0, and the four time-lag folds (skip 0.0/NaN, later lag wins
+    * ties). Sequential folds are transcribed as argmax-with-latest-index
+    * over DuckDB list lambdas — valid because the running-max fold's
+    * final value is exactly the LAST element attaining the global max —
+    * and every float op (incl. `mx * 0.1::DOUBLE` and the slice→DOUBLE
+    * casts) mirrors the Scala op order so round(…,6) can't straddle.
+    */
+  private def linkCorrOracle: String = {
+    // Pearson of two bound DOUBLE lists s1, s2 of length n: NULL encodes
+    // the zero-variance NaN (numpy corrcoef) for skip/flag handling.
+    def pearson(s1: String, s2: String, n: String): String =
+      s"""list_transform([struct_pack(ma := list_sum($s1) / $n, mb := list_sum($s2) / $n)], m ->
+          list_transform([struct_pack(
+             cov := list_sum(list_transform(generate_series(1, $n), i -> (($s1)[i] - m.ma) * (($s2)[i] - m.mb))),
+             va := list_sum(list_transform(generate_series(1, $n), i2 -> (($s1)[i2] - m.ma) * (($s1)[i2] - m.ma))),
+             vb := list_sum(list_transform(generate_series(1, $n), i3 -> (($s2)[i3] - m.mb) * (($s2)[i3] - m.mb))))], v ->
+            CASE WHEN v.va * v.vb = 0 THEN NULL ELSE v.cov / sqrt(v.va * v.vb) END)[1])[1]"""
+    // Zero-variance test on the same bound lists (the NaN flag).
+    def varZero(s1: String, s2: String, n: String): String =
+      s"""list_transform([struct_pack(ma := list_sum($s1) / $n, mb := list_sum($s2) / $n)], m ->
+          list_sum(list_transform(generate_series(1, $n), i4 -> (($s1)[i4] - m.ma) * (($s1)[i4] - m.ma))) *
+          list_sum(list_transform(generate_series(1, $n), i5 -> (($s2)[i5] - m.mb) * (($s2)[i5] - m.mb))) = 0)[1]"""
+    // Overlap alignment: bind (st, en), then the two DOUBLE slices, then
+    // apply `body` (which sees q.s1, q.s2, q.n). `onShort` is the value
+    // when the overlap is under MinYearSpan.
+    def bindSlices(gs: String, ge: String, gc: String,
+                   cs: String, ce: String, cc: String,
+                   onShort: String, body: String): String =
+      s"""list_transform([struct_pack(st := greatest($gs, $cs), en := least($ge, $ce))], p ->
+           CASE WHEN p.en - p.st + 1 < 5 THEN $onShort ELSE
+             list_transform([struct_pack(
+                 n := p.en - p.st + 1,
+                 s1 := list_transform(list_slice($gc, p.st - ($gs) + 1, p.en - ($gs) + 1), vv -> CAST(vv AS DOUBLE)),
+                 s2 := list_transform(list_slice($cc, p.st - ($cs) + 1, p.en - ($cs) + 1), vv2 -> CAST(vv2 AS DOUBLE)))], q ->
+               $body)[1]
+           END)[1]"""
+    val plainBody =
+      s"""CASE WHEN list_sum(q.s1) / q.n < 2.0 OR list_sum(q.s2) / q.n < 2.0 THEN NULL
+              ELSE ${pearson("q.s1", "q.s2", "q.n")} END"""
+    val nanBody =
+      s"""CASE WHEN list_sum(q.s1) / q.n < 2.0 OR list_sum(q.s2) / q.n < 2.0 THEN FALSE
+              ELSE ${varZero("q.s1", "q.s2", "q.n")} END"""
+    // Sliding-window fold: candidates per offset (NULL = gated/NaN skip),
+    // winner = latest offset attaining max |c|; a 0.0 winner -> NULL.
+    val winBody =
+      s"""list_transform([list_filter(list_transform(generate_series(0, q.n - 5), off ->
+             list_transform([struct_pack(w1 := list_slice(q.s1, off + 1, off + 5),
+                                         w2 := list_slice(q.s2, off + 1, off + 5))], w ->
+               CASE WHEN list_sum(w.w1) / 5 < 2.0 OR list_sum(w.w2) / 5 < 2.0 THEN NULL
+                    ELSE ${pearson("w.w1", "w.w2", "5")} END)[1]), xx -> xx IS NOT NULL)], vl ->
+           list_transform([list_filter(vl, x2 -> abs(x2) = list_aggregate(list_transform(vl, y2 -> abs(y2)), 'max'))], wn ->
+             CASE WHEN len(wn) = 0 OR wn[-1] = 0.0 THEN NULL ELSE wn[-1] END)[1])[1]"""
+    def xcorr(lag: String, body: String, onShort: String = "NULL"): String =
+      bindSlices(s"(gs + $lag)", s"(ge + $lag)", "gc", "cs", "ce", "cc2", onShort, body)
+    // Lag fold: candidates skip NULL and exact 0.0; later lag wins ties.
+    def lagFold(lo: Int, hi: Int, body: String): String =
+      s"""list_transform([list_filter(list_transform(generate_series($lo, $hi), lg -> ${xcorr("lg", body)}), x3 -> x3 IS NOT NULL AND x3 <> 0.0)], vl2 ->
+           list_transform([list_filter(vl2, x4 -> abs(x4) = list_aggregate(list_transform(vl2, y4 -> abs(y4)), 'max'))], wn2 ->
+             CASE WHEN len(wn2) = 0 THEN NULL ELSE wn2[-1] END)[1])[1]"""
+    def gate(expr: String, onGate: String = "NULL") =
+      s"CASE WHEN gt < 5 OR ct < 5 OR gs + 3 < cs OR gs <= 1900 OR cs <= 1900 THEN $onGate ELSE $expr END"
+    s"""WITH ev AS (
+          SELECT o_orderkey % 700 AS pid, CAST(year(o_orderdate) AS INT) AS yr
+          FROM orders
+          WHERE CASE
+            WHEN o_orderkey % 700 < 20 THEN year(o_orderdate) IN (1995, 2001)
+            WHEN o_orderkey % 700 BETWEEN 30 AND 39 THEN year(o_orderdate) >= 1999 AND o_orderkey % 4 != 3
+            WHEN o_orderkey % 700 >= 690 THEN o_orderkey % 11 = 0
+            ELSE o_orderkey % 4 != 3 END),
+        hist AS (SELECT pid, yr, count(*) AS c FROM ev GROUP BY 1, 2),
+        ser AS (SELECT pid, min(yr) AS s, max(yr) AS e, CAST(sum(c) AS BIGINT) AS total,
+                       list(struct_pack(y := yr, c := c) ORDER BY yr) AS ents
+                FROM hist GROUP BY 1),
+        ser2 AS (SELECT pid, s, e, total,
+          list_transform(generate_series(s, e), yy ->
+            coalesce(list_sum(list_transform(ents, en2 -> CASE WHEN en2.y = yy THEN en2.c ELSE 0 END)), 0)) AS cnt
+          FROM ser),
+        ser3 AS (SELECT pid, s, e, total, cnt,
+          len(cnt) AS L,
+          list_aggregate(cnt, 'max') AS mx,
+          list_position(cnt, list_aggregate(cnt, 'max')) AS peak
+          FROM ser2),
+        ser4 AS (SELECT pid, s, e, total, cnt, L,
+          coalesce(L - list_aggregate(list_filter(generate_series(peak + 4, L), i6 ->
+             5 = list_sum(list_transform(generate_series(i6 - 4, i6), j2 ->
+               CASE WHEN cnt[j2] < mx * (0.1::DOUBLE) THEN 1 ELSE 0 END))), 'min'), 0) AS trunc
+          FROM ser3),
+        ser5 AS (SELECT pid, s, e - trunc AS e2, total, list_slice(cnt, 1, L - trunc) AS cnt2 FROM ser4),
+        pids AS (SELECT pid FROM ser5 WHERE pid < 50 OR pid >= 690),
+        edges AS (SELECT a.pid AS citing, b.pid AS cited
+                  FROM pids a, pids b
+                  WHERE a.pid != b.pid AND (a.pid * 31 + b.pid) % 5 = 0),
+        j AS (SELECT e.citing, e.cited,
+                g.s AS gs, g.e2 AS ge, g.total AS gt, g.cnt2 AS gc,
+                c.s AS cs, c.e2 AS ce, c.total AS ct, c.cnt2 AS cc2
+              FROM edges e JOIN ser5 g ON e.citing = g.pid JOIN ser5 c ON e.cited = c.pid)
+        SELECT citing, cited,
+          round(${gate(xcorr("0", plainBody))}, 6) AS cc,
+          CAST(${gate(xcorr("0", nanBody, onShort = "FALSE"), onGate = "FALSE")} AS BIGINT) AS cc_nan,
+          round(${gate(xcorr("0", winBody))}, 6) AS wcc,
+          round(${gate(lagFold(-5, -1, plainBody))}, 6) AS ntl,
+          round(${gate(lagFold(1, 5, plainBody))}, 6) AS tl,
+          round(${gate(lagFold(-5, -1, winBody))}, 6) AS wntl,
+          round(${gate(lagFold(1, 5, winBody))}, 6) AS wtl
+        FROM j"""
+  }
+
   /** Shared CTE block for the link-feature oracles — the SQL twin of
     * `linkUniverse` + the CommonNeighbors metric conventions.
     */
@@ -1169,6 +1317,7 @@ object SparkEntry {
         FROM ($keyPapersOracle) kp"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_link_corr" -> linkCorrOracle,
     "q_topic_words" -> topicWordsOracle,
     "q_export_graph" -> exportGraphOracle,
     "q_key_papers" -> keyPapersOracle,
