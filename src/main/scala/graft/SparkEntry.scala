@@ -499,6 +499,59 @@ object SparkEntry {
       NameMatch.candidatePairs(authors, maxLev = 0.1)
         .select(col("id1"), col("id2"), round(col("lev_dis"), 6).as("lev_dis"))
     }),
+    // --- X1: NFKD normalize + combining-mark strip (match_author.py:20-24). Accented inputs are derived deterministically from customer
+    //     names (translate injects five distinct diacritic classes: acute, grave, circumflex, tilde, diaeresis), so the DuckDB
+    //     strip_accents twin checks the de-accenting byte-for-byte. ------------------------------------------------------------------------
+    "q_nfkd" -> ((s, d) => {
+      val strip = udf((x: String) => NameMatch.nfkdStrip(x))
+      t(s, d, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          translate(lower(col("c_name")), "aeiou", "áèîõü").as("accented"))
+        .select(col("c_custkey"), col("accented"), strip(col("accented")).as("stripped"))
+    }),
+    // --- X3: compare_name token similarity (match_author.py:36-91), driver-checked end-to-end. Pair families are constructed so every
+    //     branch of the algorithm fires on deterministic testdata-derived names: token-subset fast path (fam 0), single-letter initial
+    //     match (fam 1), cross-name token replacement → unmatched leftovers (fam 2), in-token typo → fractional leven-ratio penalty
+    //     (fam 3), pinyin re-segmentation fast path ("wei zhang" vs "weizhang"), pinyin-equality-without-removal quirk (differing
+    //     surnames), and a typo'd surname that exercises the exact float penalty order (1/(2−10/11−1+1)). The DuckDB twin transcribes
+    //     the FULL algorithm: preprocessing, stable length-sort, greedy 2-syllable pinyin parse over the literal syllable table,
+    //     LCS-based indel ratio (recursive DP), the sequential scan/penalty loop (one micro-step per recursion row so float op order
+    //     matches), and the leftover merge. ---------------------------------------------------------------------------------------------------
+    "q_compare_name" -> ((s, d) => {
+      val tk = split(col("p_name"), " ")
+      val parts = t(s, d, "part").select(col("p_partkey"), col("p_name"), tk.as("tk"))
+      val prev = parts.select((col("p_partkey") + 1).as("pk2"), element_at(col("tk"), 2).as("ptok"))
+      val pp = parts.filter(col("p_partkey").between(2, 400))
+        .join(prev, col("p_partkey") === col("pk2"))
+        .select(col("p_partkey").as("id"), col("p_name").as("name1"),
+          when(col("p_partkey") % 4 === 0,
+            concat(upper(element_at(col("tk"), 2)), lit("#")))
+          .when(col("p_partkey") % 4 === 1,
+            concat_ws(" ", substring(element_at(col("tk"), 1), 1, 1), element_at(col("tk"), 2)))
+          .when(col("p_partkey") % 4 === 2,
+            concat_ws(" ", element_at(col("tk"), 1), col("ptok")))
+          .otherwise(
+            concat_ws(" ", concat(element_at(col("tk"), 1), lit("x")), element_at(col("tk"), 2)))
+          .as("name2"))
+      val given = array(Seq("wei", "fang", "min", "jun", "lei", "na").map(lit): _*)
+      val sur = array(Seq("zhang", "wang", "li", "zhao", "chen", "yang").map(lit): _*)
+      val gi = (col("c_custkey") % 6 + 1).cast("int")
+      val si = (expr("(c_custkey % 36) div 6") + 1).cast("int")
+      val s2i = (expr("((c_custkey % 36) div 6 + 1) % 6") + 1).cast("int")
+      val cust = t(s, d, "customer").filter(col("c_custkey") <= 150)
+        .select((col("c_custkey") + 10000).as("id"),
+          concat_ws(" ", element_at(given, gi), element_at(sur, si)).as("name1"),
+          when(col("c_custkey") % 2 === 0,
+            concat(element_at(given, gi), element_at(sur, si)))
+          .when(col("c_custkey") % 4 === 1,
+            concat_ws(" ", element_at(given, gi), element_at(sur, s2i)))
+          .otherwise(
+            concat_ws(" ", element_at(given, gi), concat(element_at(sur, si), lit("x"))))
+          .as("name2"))
+      pp.unionByName(cust)
+        .select(col("id"), col("name1"), col("name2"),
+          round(NameMatch.similarityUdf(col("name1"), col("name2")), 6).as("similarity"))
+    }),
     // --- J7: union of two different-key joins ----------------------------------------------------------------------------------------------
     "q_union_two_joins" -> ((s, d) => {
       val nation = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
@@ -829,6 +882,174 @@ object SparkEntry {
     * and every float op (incl. `mx * 0.1::DOUBLE` and the slice→DOUBLE
     * casts) mirrors the Scala op order so round(…,6) can't straddle.
     */
+  /** DuckDB twin of the FULL compare_name algorithm (NameMatch.compareName,
+    * reference match_author.py:36-91), transcribed for the constructed
+    * q_compare_name pair families:
+    *  - preprocessing (lower → punct strip → digit strip → de-accent →
+    *    tokenize) and the STABLE sort by descending token length
+    *    (struct-sort on (-len, original index));
+    *  - the greedy ≤2-syllable pinyin parse (parse_pinyin2,
+    *    match_author.py:124-150) over the identical literal syllable
+    *    table, in closed form: the longest matching prefix either IS the
+    *    word, or its remainder (2..6 chars) is itself a syllable;
+    *  - python-Levenshtein `ratio` = 2·LCS/(la+lb) via a recursive-CTE DP
+    *    (indel distance with substitution cost 2 equals la+lb−2·LCS); the
+    *    prefix-max row update makes each DP step a pure list expression;
+    *  - the sequential scan/penalty loop as a micro-step recursion — ONE
+    *    scan event per recursion row, so every 0.9/1.0/ratio decrement
+    *    applies to both penalties in exactly the Scala float op order,
+    *    including the pinyin-equality-decrements-but-never-removes quirk;
+    *  - the leftover merge (concat unmatched tokens, ratio ≥ 0.9 gate,
+    *    skipped when both leftovers re-parse as pinyin) and the final
+    *    min(1, 1/(min(p1,p2)+1)) with the 1/0 → 1.0 cap.
+    */
+  private def compareNameOracle: String = {
+    val py = graft.analytics.NameMatch.pinyinList.map(s => s"'$s'").mkString("[", ",", "]")
+    // Greedy longest prefix (2..6 chars) of `w` in the syllable table; 0 when none.
+    def greedy(w: String): String =
+      s"""coalesce(list_aggregate(list_filter(generate_series(2, least(6, len($w))), gi0 ->
+            list_contains($py, substr($w, 1, CAST(gi0 AS INT)))), 'max'), 0)"""
+    // parse_pinyin2 flag: whole word consumed by 1 or 2 greedy syllables.
+    def pin(w: String): String =
+      s"""(len($w) >= 2 AND list_transform([${greedy(w)}], pp ->
+            CASE WHEN pp = len($w) THEN TRUE
+                 WHEN pp >= 2 AND len($w) - pp BETWEEN 2 AND 6
+                   THEN list_contains($py, substr($w, CAST(pp + 1 AS INT), CAST(len($w) - pp AS INT)))
+                 ELSE FALSE END)[1])"""
+    // parse_pinyin2 parts: [syl1, syl2] on a 2-syllable success, else [w].
+    def parts(w: String): String =
+      s"""list_transform([${greedy(w)}], pq ->
+            CASE WHEN pq >= 2 AND pq < len($w) AND len($w) - pq BETWEEN 2 AND 6
+                      AND list_contains($py, substr($w, CAST(pq + 1 AS INT), CAST(len($w) - pq AS INT)))
+                 THEN [substr($w, 1, CAST(pq AS INT)), substr($w, CAST(pq + 1 AS INT), CAST(len($w) - pq AS INT))]
+                 ELSE [$w] END)[1]"""
+    // preprocessName + stable sort by (-token length, original position).
+    def srt(x: String): String =
+      s"""list_transform([list_filter(string_split_regex(strip_accents(
+             regexp_replace(regexp_replace(lower($x), '[^\\s\\w]', '', 'g'), '[0-9_]', '', 'g')), '\\s+'), t0 -> t0 <> '')], tl ->
+           list_transform(list_sort(list_transform(generate_series(1, len(tl)), si0 ->
+             struct_pack(sl := -len(tl[si0]), si := si0, st := tl[si0]))), ss -> ss.st))[1]"""
+    // AND of isPinyin over tokens of length != 1 (true when none).
+    def flagOf(l: String): String =
+      s"""coalesce(list_aggregate(list_transform(list_filter($l, fw -> len(fw) <> 1), fw2 -> ${pin("fw2")}), 'bool_and'), TRUE)"""
+    // One LCS DP step: new row = prefix running max of the candidate row.
+    def dpStep(a: String, b: String): String =
+      s"""list_prepend(0, list_transform(generate_series(2, len($a) + 1), kk ->
+            greatest(0, list_max(list_transform(generate_series(2, kk), k2 ->
+              CASE WHEN substr($a, CAST(k2 - 1 AS INT), 1) = substr($b, CAST(j + 1 AS INT), 1)
+                   THEN dp[k2 - 1] + 1 ELSE dp[k2] END)))))"""
+    def zeroRow(a: String): String =
+      s"list_transform(generate_series(1, len($a) + 1), z0 -> 0)"
+    def ratioOf(a: String, b: String): String =
+      s"""CASE WHEN len($a) + len($b) = 0 THEN 1.0::DOUBLE
+              ELSE CAST(2 * dp[len($a) + 1] AS DOUBLE) / (len($a) + len($b)) END"""
+    s"""WITH RECURSIVE
+       gvsr AS (SELECT ['wei','fang','min','jun','lei','na'] AS gv,
+                       ['zhang','wang','li','zhao','chen','yang'] AS sr),
+       base AS (
+         SELECT p.p_partkey AS id, p.p_name AS name1,
+                CASE WHEN p.p_partkey % 4 = 0 THEN upper(p.tk[2]) || '#'
+                     WHEN p.p_partkey % 4 = 1 THEN concat_ws(' ', substr(p.tk[1], 1, 1), p.tk[2])
+                     WHEN p.p_partkey % 4 = 2 THEN concat_ws(' ', p.tk[1], q.tk2)
+                     ELSE concat_ws(' ', p.tk[1] || 'x', p.tk[2]) END AS name2
+         FROM (SELECT p_partkey, p_name, string_split(p_name, ' ') AS tk FROM part) p
+         JOIN (SELECT p_partkey + 1 AS pk2, string_split(p_name, ' ')[2] AS tk2 FROM part) q
+           ON p.p_partkey = q.pk2
+         WHERE p.p_partkey BETWEEN 2 AND 400
+         UNION ALL
+         SELECT c_custkey + 10000,
+                gv[CAST(c_custkey % 6 + 1 AS INT)] || ' ' || sr[CAST((c_custkey % 36) // 6 + 1 AS INT)],
+                CASE WHEN c_custkey % 2 = 0
+                       THEN gv[CAST(c_custkey % 6 + 1 AS INT)] || sr[CAST((c_custkey % 36) // 6 + 1 AS INT)]
+                     WHEN c_custkey % 4 = 1
+                       THEN gv[CAST(c_custkey % 6 + 1 AS INT)] || ' ' || sr[CAST(((c_custkey % 36) // 6 + 1) % 6 + 1 AS INT)]
+                     ELSE gv[CAST(c_custkey % 6 + 1 AS INT)] || ' ' || (sr[CAST((c_custkey % 36) // 6 + 1 AS INT)] || 'x') END
+         FROM customer, gvsr WHERE c_custkey <= 150),
+       prep AS (SELECT id, name1, name2, ${srt("name1")} AS n1, ${srt("name2")} AS n2 FROM base),
+       flags AS (SELECT *, len(n1) AS l1, len(n2) AS l2,
+                        ${flagOf("n1")} AS f1, ${flagOf("n2")} AS f2
+                 FROM prep),
+       fast AS (SELECT *,
+                  (list_has_all(n2, n1) OR list_has_all(n1, n2)) AS subsetq,
+                  list_transform([flatten(list_transform(n1, pw1 -> ${parts("pw1")}))], py1 ->
+                    list_transform([flatten(list_transform(n2, pw2 -> ${parts("pw2")}))], py2 ->
+                      (len(py1) <> len(n1) OR len(py2) <> len(n2)) AND len(py1) = len(py2)
+                      AND list_has_all(py1, py2) AND list_has_all(py2, py1) AND f1 AND f2)[1])[1] AS resegq
+                FROM flags),
+       u AS (SELECT DISTINCT id, w FROM (SELECT id, unnest(n1) AS w FROM flags
+                                         UNION ALL SELECT id, unnest(n2) FROM flags)),
+       tp AS (SELECT DISTINCT a.id, a.w AS w1, b.w AS w2
+              FROM (SELECT DISTINCT id, w FROM (SELECT id, unnest(n1) AS w FROM flags)) a
+              JOIN (SELECT DISTINCT id, w FROM (SELECT id, unnest(n2) AS w FROM flags)) b USING (id)),
+       lcs AS (
+         SELECT id, w1, w2, 0 AS j, ${zeroRow("w1")} AS dp FROM tp
+         UNION ALL
+         SELECT id, w1, w2, j + 1, ${dpStep("w1", "w2")} FROM lcs WHERE j < len(w2)),
+       rat AS (SELECT id, w1, w2, ${ratioOf("w1", "w2")} AS r FROM lcs WHERE j = len(w2)),
+       rmm AS (SELECT id, map(list(w1 || chr(1) || w2), list(r)) AS m FROM rat GROUP BY id),
+       pmm AS (SELECT id, map(list(w), list(${pin("w")})) AS m FROM u GROUP BY id),
+       loop AS (
+         SELECT f.id, 1 AS k, 1 AS j, n2 AS n2tb, n1 AS n1rest,
+                CAST(l1 AS DOUBLE) AS pen1, CAST(l2 AS DOUBLE) AS pen2,
+                CAST(NULL AS VARCHAR) AS rmf
+         FROM fast f WHERE NOT subsetq AND NOT coalesce(resegq, FALSE)
+         UNION ALL
+         SELECT id, CASE WHEN act = 'fin' THEN k + 1 ELSE k END,
+                CASE WHEN act = 'fin' THEN 1 WHEN act IN ('m1','m3') THEN j ELSE j + 1 END,
+                CASE WHEN act = 'fin' AND rmf IS NOT NULL
+                     THEN list_concat(list_slice(n2tb, 1, list_position(n2tb, rmf) - 1),
+                                      list_slice(n2tb, list_position(n2tb, rmf) + 1, len(n2tb)))
+                     ELSE n2tb END,
+                CASE WHEN act = 'fin' AND rmf IS NOT NULL
+                     THEN list_concat(list_slice(n1rest, 1, list_position(n1rest, w1) - 1),
+                                      list_slice(n1rest, list_position(n1rest, w1) + 1, len(n1rest)))
+                     ELSE n1rest END,
+                CASE act WHEN 'm1' THEN pen1 - 0.9::DOUBLE WHEN 'eq' THEN pen1 - 1.0::DOUBLE
+                         WHEN 'm3' THEN pen1 - rr ELSE pen1 END,
+                CASE act WHEN 'm1' THEN pen2 - 0.9::DOUBLE WHEN 'eq' THEN pen2 - 1.0::DOUBLE
+                         WHEN 'm3' THEN pen2 - rr ELSE pen2 END,
+                CASE WHEN act = 'fin' THEN NULL WHEN act IN ('m1','m3') THEN w2 ELSE rmf END
+         FROM (
+           SELECT s.*,
+                  CASE WHEN s.rmf IS NOT NULL OR s.j > len(s.n2tb) THEN 'fin'
+                       WHEN least(len(s.w1), len(s.w2)) = 1
+                            AND (starts_with(s.w1, s.w2) OR starts_with(s.w2, s.w1))
+                            AND s.f1 = s.f2 THEN 'm1'
+                       WHEN s.pw1 AND s.pw2 AND s.w1 = s.w2 THEN 'eq'
+                       WHEN s.pw1 AND s.pw2 THEN 'no'
+                       WHEN s.rr >= 0.7::DOUBLE THEN 'm3'
+                       ELSE 'no' END AS act
+           FROM (
+             SELECT l.id, l.k, l.j, l.n2tb, l.n1rest, l.pen1, l.pen2, l.rmf,
+                    f.n1[l.k] AS w1, l.n2tb[l.j] AS w2, f.f1, f.f2,
+                    (p.m[f.n1[l.k]])[1] AS pw1,
+                    (p.m[coalesce(l.n2tb[l.j], chr(2))])[1] AS pw2,
+                    (r.m[f.n1[l.k] || chr(1) || coalesce(l.n2tb[l.j], chr(2))])[1] AS rr
+             FROM loop l JOIN fast f ON l.id = f.id
+                  JOIN pmm p ON l.id = p.id JOIN rmm r ON l.id = r.id
+             WHERE l.k <= f.l1) s)),
+       fs AS (SELECT l.id, array_to_string(l.n1rest, '') AS r1, array_to_string(l.n2tb, '') AS r2,
+                     l.pen1, l.pen2
+              FROM loop l JOIN fast f USING (id) WHERE l.k = f.l1 + 1),
+       lo AS (
+         SELECT id, r1, r2, 0 AS j, ${zeroRow("r1")} AS dp FROM fs
+         UNION ALL
+         SELECT id, r1, r2, j + 1, ${dpStep("r1", "r2")} FROM lo WHERE j < len(r2)),
+       lor AS (SELECT id, ${ratioOf("r1", "r2")} AS lr, ${pin("r1")} AS pr1, ${pin("r2")} AS pr2
+               FROM lo WHERE j = len(r2)),
+       pens AS (SELECT fs.id,
+                  CASE WHEN lor.lr >= 0.9::DOUBLE AND (NOT lor.pr1 OR NOT lor.pr2)
+                       THEN least(fs.pen1 - lor.lr, fs.pen2 - lor.lr) + 1.0::DOUBLE
+                       ELSE least(fs.pen1, fs.pen2) + 1.0::DOUBLE END AS pen
+                FROM fs JOIN lor USING (id))
+       SELECT f.id, f.name1, f.name2,
+              round(CASE WHEN f.subsetq THEN 1.0::DOUBLE
+                         WHEN coalesce(f.resegq, FALSE) THEN 1.0::DOUBLE
+                         WHEN p.pen = 0 THEN 1.0::DOUBLE
+                         ELSE least(1.0::DOUBLE, 1.0::DOUBLE / p.pen) END, 6) AS similarity
+       FROM fast f LEFT JOIN pens p USING (id)"""
+  }
+
   private def linkCorrOracle: String = {
     // Pearson of two bound DOUBLE lists s1, s2 of length n: NULL encodes
     // the zero-variance NaN (numpy corrcoef) for skip/flag handling.
@@ -1318,6 +1539,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_link_corr" -> linkCorrOracle,
+    "q_compare_name" -> compareNameOracle,
     "q_topic_words" -> topicWordsOracle,
     "q_export_graph" -> exportGraphOracle,
     "q_key_papers" -> keyPapersOracle,
@@ -1342,6 +1564,11 @@ object SparkEntry {
     "q_regex_filter" ->
       """SELECT lang, count(*) AS n FROM documents
          WHERE regexp_matches(text, '(?i)\bdata\w*\b') GROUP BY 1""",
+    "q_nfkd" ->
+      """SELECT c_custkey,
+         translate(lower(c_name), 'aeiou', 'áèîõü') AS accented,
+         strip_accents(translate(lower(c_name), 'aeiou', 'áèîõü')) AS stripped
+         FROM customer WHERE c_custkey <= 500""",
     "q_name_pairs" ->
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
          round(CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE) /

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 import java.text.Normalizer
@@ -191,9 +192,17 @@ object NameMatch {
     math.min(1.0, 1.0 / penalty)
   }
 
+  /** The pinyin syllable table, sorted — public so the DuckDB oracle can
+    * embed the identical literal set.
+    */
+  def pinyinList: Seq[String] = pinyinSet.toSeq.sorted
+
   // --- Spark pipeline ---------------------------------------------------
 
-  private val compareNameUdf = udf((a: String, b: String) => compareName(a, b))
+  /** compareName as a column function (X3). */
+  val similarityUdf: UserDefinedFunction = udf((a: String, b: String) => compareName(a, b))
+
+  private val compareNameUdf = similarityUdf
 
   /** Normalized edit distance as a pure-Catalyst (codegen'd) expression —
     * Spark's built-in `levenshtein` replaces the former Scala UDF.

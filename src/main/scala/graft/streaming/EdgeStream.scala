@@ -75,21 +75,39 @@ object EdgeStream {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Cumulative out-degree per source across ALL batches so far —
-    * explicit keyed state via mapGroupsWithState (update output mode).
-    * State is one long per distinct source; a TTL would ride
-    * GroupStateTimeout if sources expire.
+  /** Cumulative out-degree per source across batches — explicit keyed
+    * state via mapGroupsWithState (update output mode). State is one long
+    * per distinct source, but the key set is unbounded on a crawled
+    * corpus, so each group carries a processing-time TTL: a source idle
+    * for `ttl` has its state dropped (the timed-out invocation re-emits
+    * the final total, then removes). A source that reappears later counts
+    * from zero — the contract is "cumulative within an activity epoch";
+    * the batch degree aggregation remains the all-time answer.
+    *
+    * Deployment note: processing-time timers make the engine schedule a
+    * micro-batch EVERY trigger even with no new data (timers are
+    * wall-clock driven), so run this sink with an explicit
+    * `Trigger.ProcessingTime(...)` interval — under the default
+    * zero-interval trigger the query busy-loops empty batches, and
+    * `processAllAvailable()` never observes a quiescent stream.
     */
-  def cumulativeOutDegree(edges: Dataset[Edge]): Dataset[(Long, Long)] = {
+  def cumulativeOutDegree(edges: Dataset[Edge], ttl: String = "30 minutes"): Dataset[(Long, Long)] = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges
       .groupByKey(_.src)
-      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.ProcessingTimeTimeout) {
         (src: Long, rows: Iterator[Edge], state: GroupState[Long]) =>
-          val total = state.getOption.getOrElse(0L) + rows.size
-          state.update(total)
-          (src, total)
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(0L)
+            state.remove()
+            (src, last)
+          } else {
+            val total = state.getOption.getOrElse(0L) + rows.size
+            state.update(total)
+            state.setTimeoutDuration(ttl)
+            (src, total)
+          }
       }
   }
 }

@@ -64,21 +64,53 @@ class EdgeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Poll until `cond` holds — processing-time timers run batches on
+    * every trigger, so `processAllAvailable` never quiesces on the
+    * TTL'd operator; deadline-polling the sink is the correct wait.
+    */
+  private def eventually(what: String, timeoutMs: Long = 60000)(cond: => Boolean): Unit = {
+    val t0 = System.currentTimeMillis
+    while (!cond && System.currentTimeMillis - t0 < timeoutMs) Thread.sleep(50)
+    assert(cond, s"not observed within ${timeoutMs}ms: $what")
+  }
+
   test("mapGroupsWithState: cumulative out-degree accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Edge]
     val q = EdgeStream.cumulativeOutDegree(mem.toDS())
       .toDF("src", "total")
-      .writeStream.format("memory").queryName("es_state").outputMode("update").start()
+      .writeStream.format("memory").queryName("es_state").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+      .start()
     try {
-      mem.addData(Edge(1L, 10L), Edge(1L, 11L), Edge(2L, 10L))
-      q.processAllAvailable()
       def totals = spark.table("es_state").as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-      assert(totals == Map(1L -> 2L, 2L -> 1L))
+      mem.addData(Edge(1L, 10L), Edge(1L, 11L), Edge(2L, 10L))
+      eventually("first-batch totals")(totals == Map(1L -> 2L, 2L -> 1L))
       mem.addData(Edge(1L, 12L))
-      q.processAllAvailable()
-      assert(totals == Map(1L -> 3L, 2L -> 1L)) // state carried, not recounted
+      // state carried, not recounted
+      eventually("carried totals")(totals == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState TTL: idle source state expires and recounts from zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Edge]
+    val q = EdgeStream.cumulativeOutDegree(mem.toDS(), ttl = "200 milliseconds")
+      .toDF("src", "total")
+      .writeStream.format("memory").queryName("es_ttl").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
+      .start()
+    try {
+      def rows = spark.table("es_ttl").as[(Long, Long)].collect().toSeq
+      mem.addData(Edge(1L, 10L), Edge(1L, 11L))
+      eventually("pre-expiry total")(rows.contains((1L, 2L)))
+      // The timed-out invocation re-emits the final total on a data-less
+      // batch — wait for that SECOND (1,2) row so the removal is known to
+      // have happened before the source returns.
+      eventually("timeout re-emission")(rows.count(_ == (1L, 2L)) >= 2)
+      mem.addData(Edge(1L, 12L)) // source 1 returns AFTER expiry: fresh epoch
+      eventually("fresh-epoch count of 1 (state removed on timeout)")(rows.contains((1L, 1L)))
     } finally q.stop()
   }
 
