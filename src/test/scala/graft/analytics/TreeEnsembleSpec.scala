@@ -40,6 +40,16 @@ class TreeEnsembleSpec extends SparkSpec {
     }
   }
 
+  test("compact wire codec round-trips a model bit-exactly") {
+    val m = TreeEnsemble.DefaultModel
+    val rt = TreeEnsemble.decodeModel(m.features, TreeEnsemble.encodeModel(m))
+    assert(rt.features == m.features)
+    assert(rt.trees.length == m.trees.length)
+    rt.trees.zip(m.trees).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"tree $i changed across encode/decode")
+    }
+  }
+
   test("trees express the XOR interaction a linear model cannot (CV)") {
     val data = TreeEnsemble.syntheticLabeledNonlinear(spark, 8000L)
     val tree = TreeEnsemble.crossValidate(data, F, "label", "id", folds = 5, numTrees = 32)
