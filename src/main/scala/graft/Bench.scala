@@ -91,8 +91,17 @@ object Bench {
     * the in-process fallback is unsafe (a shared SparkSession is already
     * active — Sessions.local would getOrCreate-reuse it at the wrong core
     * count and stopping it would kill the rest of the bench).
+    *
+    * `maxSec` bounds the fork's wall clock: a co-tenant regime can
+    * stretch a contended leg 3-4x (observed: a 128 s small leg taking
+    * 420 s), and without a bound one leg blows the whole run's budget
+    * (the round-5 shakedown overran 1700 s -> 2197 s inside legs_w56).
+    * On timeout the fork is destroyed and the window simply doesn't
+    * exist — min-of-windows selection never wanted the slow sample
+    * anyway.
     */
-  private def forkLeg(cores: Int, path: String, iters: Int, parts: Int, cpuBase: Int = 0): Option[(Leg, String)] = {
+  private def forkLeg(cores: Int, path: String, iters: Int, parts: Int, cpuBase: Int = 0,
+      maxSec: Double = Double.MaxValue): Option[(Leg, String)] = {
     val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     val taskset = new java.io.File("/usr/bin/taskset")
     val maxCpu = Runtime.getRuntime.availableProcessors()
@@ -108,9 +117,21 @@ object Bench {
     try {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(true)
+      // output to a file, not a pipe: waitFor(timeout) must not deadlock
+      // on a full pipe buffer, and a killed fork still leaves its tail
+      val outFile = java.io.File.createTempFile("graft-leg-", ".log")
+      outFile.deleteOnExit()
+      pb.redirectOutput(outFile)
       val proc = pb.start()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
-      val rc = proc.waitFor()
+      val waitMs = if (maxSec == Double.MaxValue) Long.MaxValue else math.max(1000L, (maxSec * 1000).toLong)
+      val done = proc.waitFor(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!done) {
+        proc.destroyForcibly().waitFor()
+        System.err.println(f"scaling leg (cores=$cores base=$cpuBase) exceeded its $maxSec%.0f s cap; window dropped")
+        return None
+      }
+      val rc = proc.exitValue()
+      val out = scala.io.Source.fromFile(outFile).getLines().toVector
       val line = out.reverse.find(l => l.startsWith("{\"cores\""))
       if (rc != 0 || line.isEmpty) throw new RuntimeException(s"leg rc=$rc, no JSON (tail: ${out.takeRight(3).mkString(" | ")})")
       def num(key: String): Double =
@@ -183,9 +204,17 @@ object Bench {
     calibrate() // page-in + JIT the probe outside any recorded window
 
     val windows = scala.collection.mutable.ArrayBuffer.empty[Window]
+    // Each forked leg is capped at the budget headroom (minus a reserve
+    // for the phases still owed) so one contended window can never sink
+    // the run; a dropped window just thins that leg's min-of-N sample.
+    // Absolute per-leg ceiling: a clean small leg runs ~130 s and the
+    // worst observed contended one ~420 s — past that the sample is
+    // garbage (min-selection would discard it) AND it eats the budget.
+    val legCap = sys.env.getOrElse("SPARK_GRAFT_LEG_CAP", "480").toDouble
     def runLegs(pairs: (Int, Int)*): Unit = pairs.foreach { case (c, base) =>
       val calib = calibrate()
-      forkLeg(c, probePath, probeIters, scaleParts, base).foreach { case (leg, iso) =>
+      val cap = math.min(legCap, math.max(90.0, remaining - 150.0))
+      forkLeg(c, probePath, probeIters, scaleParts, base, maxSec = cap).foreach { case (leg, iso) =>
         windows += Window(c, base, leg, iso, calib)
       }
     }

@@ -661,6 +661,43 @@ object SparkEntry {
         .select(col("doc_id"),
           sources.SemiStructured.invertedIndexToText(
             sources.SemiStructured.parseInvertedIndex(col("inv_json"))).as("rebuilt"))
+    }),
+    // --- S8: N-Triples multi-line parser, driver-checked end-to-end. Each supplier renders to a 3-triple block whose third triple's
+    //     literal embeds a REAL newline (so the record spans two physical lines — exercises mergeTripleLines) plus a ^^<datatype>
+    //     suffix (exercises the literal-suffix strip). The lines feed the production merger+parser on one ordered partition (= one
+    //     file, the reference's per-file framing); the DuckDB twin states what a correct parse must recover straight from the table. --
+    "q_ntriples" -> ((s, d) => {
+      import s.implicits._
+      val blocks = t(s, d, "supplier").filter(col("s_suppkey") <= 200)
+        .select(col("s_suppkey").as("k"),
+          concat(
+            lit("<urn:sup:"), col("s_suppkey").cast("string"), lit("> <urn:p:name> \""), col("s_name"), lit("\" .\n"),
+            lit("<urn:sup:"), col("s_suppkey").cast("string"), lit("> <urn:p:nation> <urn:nat:"), col("s_nationkey").cast("string"), lit("> .\n"),
+            lit("<urn:sup:"), col("s_suppkey").cast("string"), lit("> <urn:p:contact> \""), col("s_name"), lit("\nnation "), col("s_nationkey").cast("string"),
+            lit("\"^^<urn:t:text> .")).as("block"))
+      val lines = blocks.repartition(1).sortWithinPartitions(col("k"))
+        .select(explode(split(col("block"), "\n")).as("value")).as[String]
+      sources.SemiStructured.parseTriples(sources.SemiStructured.mergeTripleLines(lines))
+    }),
+    // --- ANN random-hyperplane LSH (banded sign-bit signatures + exact cosine re-rank). The oracle is GENERATED from the identical
+    //     md5-derived plane constants (same pattern as the tree scorer's CASE oracle), recomputing signatures, the band-bucket equi
+    //     join, and the re-rank in SQL. Rank output only (like q_ann_topk): integer-exact against fp noise. ---------------------------
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(emb, queries, k = 5, dim = 64, numPlanes = 16, bands = 4)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+    // --- M4: deterministic Lloyd k-means over integer-valued 2-d points (exact BIGINT centroid sums -> bit-reproducible trajectory);
+    //     the DuckDB twin unrolls the same 2 iterations + final assignment as materialized CTEs. -----------------------------------------
+    "q_kmeans" -> ((s, d) => {
+      val pts = t(s, d, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey").as("id"),
+          (col("c_custkey") * 13 % 97).cast("double").as("x"),
+          (col("c_custkey") * 29 % 89).cast("double").as("y"))
+      Clustering.lloydXY(pts, k = 4, iters = 2)
+        .select(col("id"), col("x"), col("y"), col("cluster").cast("long").as("cluster"))
     })
   )
 
@@ -1836,6 +1873,94 @@ object SparkEntry {
     "q_inverted_abstract" ->
       """SELECT doc_id,
                 array_to_string(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> ''), ' ') AS rebuilt
-         FROM documents WHERE trim(text) <> ''"""
+         FROM documents WHERE trim(text) <> ''""",
+    "q_ntriples" ->
+      """SELECT concat('urn:sup:', s_suppkey) AS subject, 'urn:p:name' AS predicate, s_name AS obj
+         FROM supplier WHERE s_suppkey <= 200
+         UNION ALL
+         SELECT concat('urn:sup:', s_suppkey), 'urn:p:nation', concat('urn:nat:', s_nationkey)
+         FROM supplier WHERE s_suppkey <= 200
+         UNION ALL
+         SELECT concat('urn:sup:', s_suppkey), 'urn:p:contact', concat(s_name, chr(10), 'nation ', s_nationkey)
+         FROM supplier WHERE s_suppkey <= 200""",
+    "q_ann_lsh" -> annLshOracle,
+    "q_kmeans" -> kmeansOracle
   )
+
+  /** DuckDB twin of Similarity.lshTopK(k=5, dim=64, numPlanes=16,
+    * bands=4): the plane constants are generated from the IDENTICAL
+    * seeded md5 values the engine uses, then signatures, the banded
+    * bucket join, and the exact-cosine re-rank are recomputed in SQL.
+    * Rank-only output keeps the compare integer-exact.
+    */
+  private def annLshOracle: String = {
+    val pl = Similarity.planes(numPlanes = 16, dim = 64, seed = 42)
+    val planeRows = pl.zipWithIndex
+      .map { case (v, p) => s"($p, [${v.mkString(", ")}])" }
+      .mkString(",\n             ")
+    s"""WITH planes AS MATERIALIZED (SELECT * FROM (VALUES
+             $planeRows) t(p, v)),
+         emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         sig AS MATERIALIZED (
+           SELECT m.vec_id,
+                  CAST(sum(CASE WHEN list_dot_product(m.e, pl.v) >= 0
+                                THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+           FROM emb m, planes pl GROUP BY m.vec_id),
+         banded AS MATERIALIZED (
+           SELECT s.vec_id, b.band, (s.bucket >> (CAST(b.band AS INT) * 4)) & 15 AS key
+           FROM sig s, (SELECT unnest(range(4)) AS band) b),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+           FROM banded q JOIN banded c ON q.band = c.band AND q.key = c.key
+           WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id,
+             CASE WHEN sqrt(list_dot_product(eq.e, eq.e)) = 0 OR sqrt(list_dot_product(ec.e, ec.e)) = 0 THEN 0.0
+                  ELSE list_dot_product(eq.e, ec.e) /
+                       (sqrt(list_dot_product(eq.e, eq.e)) * sqrt(list_dot_product(ec.e, ec.e))) END AS cosine
+           FROM cand
+           JOIN emb eq ON eq.vec_id = cand.query_id
+           JOIN emb ec ON ec.vec_id = cand.vec_id)
+       SELECT query_id, vec_id, rank FROM (
+         SELECT query_id, vec_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         FROM scored) WHERE rank <= 5"""
+  }
+
+  /** DuckDB twin of Clustering.lloydXY(k=4, iters=2) on the q_kmeans
+    * point set: init = 4 smallest ids, two exact-BIGINT-sum centroid
+    * updates unrolled as materialized CTEs, final assignment under the
+    * updated centroids. Integer coordinates keep every centroid sum
+    * order-proof, so even the IEEE mean divisions and distance
+    * comparisons match bit-for-bit.
+    */
+  private def kmeansOracle: String = {
+    def assign(cents: String, pts: String): String =
+      s"""SELECT id, x, y, ci AS cluster FROM (
+            SELECT p.id, p.x, p.y, c.ci,
+              row_number() OVER (PARTITION BY p.id
+                ORDER BY (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.ci) AS rn
+            FROM $pts p, $cents c) WHERE rn = 1"""
+    def update(cents: String, assigned: String): String =
+      s"""SELECT c.ci,
+            COALESCE(CAST(s.sx AS DOUBLE)/s.n, c.cx) AS cx,
+            COALESCE(CAST(s.sy AS DOUBLE)/s.n, c.cy) AS cy
+          FROM $cents c LEFT JOIN (
+            SELECT cluster, SUM(CAST(x AS BIGINT)) AS sx, SUM(CAST(y AS BIGINT)) AS sy, count(*) AS n
+            FROM $assigned GROUP BY 1) s ON s.cluster = c.ci"""
+    s"""WITH pts AS MATERIALIZED (
+           SELECT c_custkey AS id,
+                  CAST((c_custkey*13)%97 AS DOUBLE) AS x,
+                  CAST((c_custkey*29)%89 AS DOUBLE) AS y
+           FROM customer WHERE c_custkey <= 500),
+         c0 AS MATERIALIZED (
+           SELECT row_number() OVER (ORDER BY id) - 1 AS ci, x AS cx, y AS cy
+           FROM (SELECT * FROM pts ORDER BY id LIMIT 4)),
+         a1 AS MATERIALIZED (${assign("c0", "pts")}),
+         c1 AS MATERIALIZED (${update("c0", "a1")}),
+         a2 AS MATERIALIZED (${assign("c1", "pts")}),
+         c2 AS MATERIALIZED (${update("c1", "a2")})
+       SELECT id, x, y, CAST(cluster AS BIGINT) AS cluster
+       FROM (${assign("c2", "pts")})"""
+  }
 }

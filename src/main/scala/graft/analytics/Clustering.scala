@@ -34,4 +34,58 @@ object Clustering {
   def rollUp(clustered: DataFrame, weightCol: String): DataFrame =
     clustered.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), sum(col(weightCol)).as("total"))
+
+  /** M4, oracle-able variant — deterministic Lloyd k-means over
+    * INTEGER-VALUED 2-d coordinates: init = the k rows with smallest
+    * `id`, then `iters` fixed (assign, update) steps and a final
+    * assignment under the converged-so-far centroids.
+    *
+    * Why this exists next to kmeansXY: MLlib's k-means|| init samples
+    * per-partition, so its trajectory is partitioning-sensitive —
+    * fine for topic roll-ups, untestable as a value-exact contract.
+    * Here integer coordinates make each centroid update an EXACT
+    * BIGINT sum (no float-order dependence at any partitioning), the
+    * mean a single IEEE division, and every distance comparison a
+    * fixed-shape double expression — the whole trajectory is
+    * bit-reproducible and transcribes 1:1 to SQL (driver-checked by
+    * q_kmeans against an unrolled DuckDB CTE twin).
+    *
+    * Scale: per iteration one codegen'd broadcast-literal argmin
+    * projection over the data + one k-row exact aggregate to the
+    * driver; k and iters are constants, so the loop costs
+    * O(iters * scan) with no join or window.
+    *
+    * Assignment: argmin of squared L2; ties go to the lowest centroid
+    * index. A cluster that loses all members keeps its previous
+    * centroid.
+    */
+  def lloydXY(df: DataFrame, k: Int, iters: Int): DataFrame = {
+    def assignCol(cents: Array[(Double, Double)]) = {
+      val dx = col("x")
+      val dy = col("y")
+      cents.zipWithIndex.map { case ((cx, cy), i) =>
+        struct(
+          ((dx - lit(cx)) * (dx - lit(cx)) + (dy - lit(cy)) * (dy - lit(cy))).as("d"),
+          lit(i).as("i"))
+      }.reduce((a, b) => least(a, b)).getField("i").as("cluster")
+    }
+    var cents = df.orderBy(col("id")).limit(k).select(col("x"), col("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    require(cents.length == k, s"need at least $k rows to seed $k clusters")
+    var it = 0
+    while (it < iters) {
+      val sums = df.select(col("id"), col("x"), col("y"), assignCol(cents))
+        .groupBy(col("cluster"))
+        .agg(sum(col("x").cast("long")).as("sx"), sum(col("y").cast("long")).as("sy"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        sums.get(i).map { case (sx, sy, n) => (sx.toDouble / n, sy.toDouble / n) }.getOrElse(old)
+      }
+      it += 1
+    }
+    df.select(col("id"), col("x"), col("y"), assignCol(cents))
+  }
 }

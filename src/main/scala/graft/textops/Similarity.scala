@@ -50,8 +50,11 @@ object Similarity {
 
   /** Deterministic random hyperplanes: planes(p)(d) ∈ [-1, 1] derived
     * from md5(seed:p:d). Returned as a literal nested array column.
+    * Exposed within the package so the DuckDB oracle of q_ann_lsh can be
+    * GENERATED from the identical constants (same pattern as the tree
+    * scorer's generated CASE oracle).
     */
-  private def planes(numPlanes: Int, dim: Int, seed: Int): Array[Array[Double]] =
+  private[graft] def planes(numPlanes: Int, dim: Int, seed: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes) { p =>
       Array.tabulate(dim) { d =>
         val hex = java.security.MessageDigest.getInstance("MD5")

@@ -50,6 +50,24 @@ class SemiStructuredSpec extends SparkSpec {
     assert(ColorFunctions.hsvToHex(60, 1, 1) == "#ffff00")
   }
 
+  test("M4: deterministic Lloyd separates blobs, bit-stable across partitionings") {
+    // two integer-coordinate blobs; lloydXY must separate them and give
+    // the IDENTICAL assignment at any input partitioning (exact BIGINT
+    // centroid sums -> no float-order dependence)
+    val pts = (0 until 40).map(i => (i.toLong, (i % 5).toDouble, (i % 7).toDouble)) ++
+      (40 until 80).map(i => (i.toLong, (50 + i % 5).toDouble, (50 + i % 7).toDouble))
+    val df8 = pts.toDF("id", "x", "y").repartition(8)
+    val df3 = pts.toDF("id", "x", "y").repartition(3)
+    val a = Clustering.lloydXY(df8, k = 2, iters = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("cluster")).toMap
+    val b = Clustering.lloydXY(df3, k = 2, iters = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("cluster")).toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    assert((0 until 40).map(i => a(i.toLong)).distinct.size == 1, "blob 1 is one cluster")
+    assert((40 until 80).map(i => a(i.toLong)).distinct.size == 1, "blob 2 is one cluster")
+    assert(a(0L) != a(40L), "blobs are separated")
+  }
+
   test("M4: seeded KMeans separates two obvious blobs deterministically") {
     val pts = (0 until 50).map(i => (i.toLong, 0.0 + i % 5 * 0.01, 0.0 + i % 7 * 0.01)) ++
       (50 until 100).map(i => (i.toLong, 10.0 + i % 5 * 0.01, 10.0 + i % 7 * 0.01))
