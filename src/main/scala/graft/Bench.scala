@@ -213,7 +213,9 @@ object Bench {
     val legCap = sys.env.getOrElse("SPARK_GRAFT_LEG_CAP", "480").toDouble
     def runLegs(pairs: (Int, Int)*): Unit = pairs.foreach { case (c, base) =>
       val calib = calibrate()
-      val cap = math.min(legCap, math.max(90.0, remaining - 150.0))
+      // reserve 60 s for finalization (the artifact write is cheap and
+      // the edge build degrades away on its own remaining>50 check)
+      val cap = math.min(legCap, math.max(90.0, remaining - 60.0))
       forkLeg(c, probePath, probeIters, scaleParts, base, maxSec = cap).foreach { case (leg, iso) =>
         windows += Window(c, base, leg, iso, calib)
       }
@@ -340,7 +342,7 @@ object Bench {
     }, "graft-bench-artifact-hook"))
 
     // windows 1+2 (before the sweep)
-    runLegs((coresSmall, 0), (coresLarge, 0))
+    runLegs((coresLarge, 0), (coresSmall, 0))
     donePhase("legs_w12")
     // measured cost of one more window pair (fork + run, calib ~2 s each)
     def pairCost: Double =
@@ -349,12 +351,14 @@ object Bench {
     // dev escape hatch: legs only (skip sweep/north/edge build) — runs
     // the full symmetric window schedule back-to-back
     if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1")) {
-      runLegs((coresSmall, coresSmall), (coresLarge, coresLarge),
-        (coresSmall, 2 * coresSmall), (coresLarge, 2 * coresLarge))
+      runLegs((coresLarge, coresLarge), (coresSmall, coresSmall),
+        (coresLarge, 2 * coresLarge), (coresSmall, 2 * coresSmall))
       val (contended, calibDrift) = contentionPass(_ => true)
-      val (e, el, ep, _, _) = currentEff.get
+      val effs = currentEff.map { case (e, el, ep, _, _) =>
+        s""""efficiency":${"%.3f".format(e)},"efficiency_loop":${"%.3f".format(el)},"efficiency_prepare":${"%.3f".format(ep)}"""
+      }.getOrElse(""""efficiency":null""")
       finished.set(true)
-      println(s"""{"scale_only":true,"efficiency":${"%.3f".format(e)},"efficiency_loop":${"%.3f".format(el)},"efficiency_prepare":${"%.3f".format(ep)},"contended":$contended,"calib_drift":${"%.3f".format(calibDrift)},"forks_per_leg":$forksJson,"legs":$legsJson}""")
+      println(s"""{"scale_only":true,$effs,"contended":$contended,"calib_drift":${"%.3f".format(calibDrift)},"forks_per_leg":$forksJson,"legs":$legsJson}""")
       return
     }
 
@@ -382,7 +386,7 @@ object Bench {
     // idle while a forked leg runs — no CPU competition). Needs the
     // north-run + finalize reserve to still fit afterwards.
     if (remaining > pairCost * 1.3 + 150) {
-      runLegs((coresSmall, coresSmall), (coresLarge, coresLarge))
+      runLegs((coresLarge, coresLarge), (coresSmall, coresSmall))
       donePhase("legs_w34")
     } else skipPhase("legs_w34")
 
@@ -398,11 +402,21 @@ object Bench {
 
     // windows 5+6: each leg's third sample, after the north run
     if (remaining > pairCost * 1.3 + 60) {
-      runLegs((coresSmall, 2 * coresSmall), (coresLarge, 2 * coresLarge))
+      runLegs((coresLarge, 2 * coresLarge), (coresSmall, 2 * coresSmall))
       donePhase("legs_w56")
     } else skipPhase("legs_w56")
+    // Retry affordability per leg: the small leg needs most of a pair's
+    // cost; the LARGE leg is cheap (~35-95 s observed) and is exactly the
+    // one contention poisons, so gate its retry on its own observed
+    // minimum (+fork overhead), not the pair cost — a contended run's
+    // last chance at a clean large window.
+    def legMinCost(c: Int): Double =
+      legWindows(c) match {
+        case ws if ws.nonEmpty => ws.map(_.leg.total).min + 35.0
+        case _ => pairCost * 0.4
+      }
     val (contended, calibDrift) = contentionPass(c =>
-      remaining > (if (c == coresSmall) pairCost * 0.8 else pairCost * 0.4) + 60)
+      remaining > (if (c == coresSmall) pairCost * 0.8 + 60 else legMinCost(c) + 60))
     contendedFlag = contended
     calibDriftV = calibDrift
     writeArtifact(partial = true)
