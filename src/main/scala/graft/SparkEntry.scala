@@ -698,6 +698,21 @@ object SparkEntry {
           (col("c_custkey") * 29 % 89).cast("double").as("y"))
       Clustering.lloydXY(pts, k = 4, iters = 2)
         .select(col("id"), col("x"), col("y"), col("cluster").cast("long").as("cluster"))
+    }),
+    // --- Skew primitives, driver-checked for value-identity: salting must be invisible in the RESULT. Quantities cast to long so the
+    //     two-phase sum is order-proof (integer-valued TPC-H quantities). --------------------------------------------------------------------
+    "q_salted_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_partkey").as("pk"), col("l_quantity").cast("long").as("qty"), col("l_orderkey"))
+      graph.Skew.saltedSum(li, col("pk"), col("qty"), salts = 8, saltSource = col("l_orderkey"))
+    }),
+    "q_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_partkey").as("pk"), col("l_quantity").cast("long").as("qty"), col("l_orderkey"))
+      val dim = t(s, d, "part").select(col("p_partkey").as("pk"), col("p_brand"))
+      graph.Skew.saltedJoin(li, dim, "pk", salts = 8, saltSource = col("l_orderkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("tq"))
     })
   )
 
@@ -1884,7 +1899,13 @@ object SparkEntry {
          SELECT concat('urn:sup:', s_suppkey), 'urn:p:contact', concat(s_name, chr(10), 'nation ', s_nationkey)
          FROM supplier WHERE s_suppkey <= 200""",
     "q_ann_lsh" -> annLshOracle,
-    "q_kmeans" -> kmeansOracle
+    "q_kmeans" -> kmeansOracle,
+    "q_salted_agg" ->
+      """SELECT l_partkey AS key, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum
+         FROM lineitem GROUP BY 1""",
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tq
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"""
   )
 
   /** DuckDB twin of Similarity.lshTopK(k=5, dim=64, numPlanes=16,
