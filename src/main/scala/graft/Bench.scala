@@ -123,8 +123,14 @@ object Bench {
       outFile.deleteOnExit()
       pb.redirectOutput(outFile)
       val proc = pb.start()
-      val waitMs = if (maxSec == Double.MaxValue) Long.MaxValue else math.max(1000L, (maxSec * 1000).toLong)
-      val done = proc.waitFor(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      // ADVICE r5: never pass ~Long.MaxValue ms to the timed waitFor —
+      // the Unix ProcessImpl computes deadline = nanoTime + toNanos(ms),
+      // which overflows at that magnitude, and a spurious wakeup then
+      // reads as a false timeout. Uncapped callers block indefinitely.
+      val done =
+        if (maxSec == Double.MaxValue) { proc.waitFor(); true }
+        else proc.waitFor(math.max(1000L, (maxSec * 1000).toLong),
+          java.util.concurrent.TimeUnit.MILLISECONDS)
       if (!done) {
         proc.destroyForcibly().waitFor()
         System.err.println(f"scaling leg (cores=$cores base=$cpuBase) exceeded its $maxSec%.0f s cap; window dropped")

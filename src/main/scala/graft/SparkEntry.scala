@@ -42,6 +42,13 @@ object SparkEntry {
     // mtimes), so regenerated testdata invalidates naturally; the
     // derivation itself is deterministic, so the parquet round-trip is
     // value-identical and every downstream oracle is unchanged.
+    //
+    // Cross-process safety (ADVICE r5): the cache lives in a PER-USER
+    // directory (no world-shared path to squat on), writers build into a
+    // unique temp dir and publish with an atomic same-filesystem rename,
+    // and an OS file lock serializes concurrent builders (e.g. bench and
+    // verify JVMs racing on a cold cache) — a reader can never observe a
+    // half-written directory.
     val src = new java.io.File(s"$dir/lineitem.parquet")
     if (!src.exists()) return derive
     val files =
@@ -50,12 +57,37 @@ object SparkEntry {
     val sig = src.getCanonicalPath +
       files.map(f => s"|${f.getName}:${f.length}:${f.lastModified}").mkString
     val md = java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
-    val path = "/tmp/graft_part_edges_" + md.take(8).map("%02x".format(_)).mkString
-    this.synchronized {
-      if (!new java.io.File(path + "/_SUCCESS").exists())
-        derive.write.mode("overwrite").parquet(path)
+    val key = "part_edges_" + md.take(8).map("%02x".format(_)).mkString
+    val cacheRoot = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir", "/tmp")),
+      s"graft-${System.getProperty("user.name", "anon")}")
+    cacheRoot.mkdirs()
+    val dest = new java.io.File(cacheRoot, key)
+    def published = new java.io.File(dest, "_SUCCESS").exists()
+    if (!published) this.synchronized { // same-JVM callers serialize here
+      // (two threads taking the OS lock below would instead throw
+      // OverlappingFileLockException)
+      val lockPath = new java.io.File(cacheRoot, key + ".lock").toPath
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock() // blocks peer JVMs
+      try {
+        if (!published) {
+          val tmp = new java.io.File(cacheRoot, s"$key.tmp-${java.util.UUID.randomUUID()}")
+          derive.write.mode("overwrite").parquet(tmp.getPath)
+          if (!tmp.renameTo(dest)) {
+            // lost a race despite the lock (or stale leftover): keep the
+            // winner, drop our build; fail loudly if neither exists
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(tmp)
+            require(published, s"part-edges cache publish failed for $dest")
+          }
+        }
+      } finally { lock.release(); ch.close() }
     }
-    spark.read.parquet(path)
+    spark.read.parquet(dest.getPath)
   }
 
   /** Flagship: PageRank over the derived co-order part graph (sf0.001),

@@ -65,7 +65,16 @@ object Sessions {
     try {
       import org.apache.logging.log4j.Level
       import org.apache.logging.log4j.core.config.Configurator
-      Configurator.setLevel("org.apache.spark.rdd", Level.ERROR)
+      // Narrow to the concrete classes that emit the message (ADVICE r5):
+      // raising the whole org.apache.spark.rdd package would also mute
+      // real WARNs (failed persists, block evictions) from every other
+      // RDD class. The "was locally checkpointed, its lineage has been
+      // truncated" WARN lives in RDD.scala but logs under the RUNTIME
+      // class's logger — for our loops that is the checkpointed
+      // MapPartitionsRDD / ZippedPartitionsRDD2 chain.
+      Seq("RDD", "MapPartitionsRDD", "ShuffledRDD",
+          "ZippedPartitionsRDD2", "ZippedPartitionsBaseRDD")
+        .foreach(c => Configurator.setLevel(s"org.apache.spark.rdd.$c", Level.ERROR))
       Configurator.setLevel(
         "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink", Level.ERROR)
       Configurator.setLevel(

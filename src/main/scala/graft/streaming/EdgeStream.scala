@@ -77,26 +77,36 @@ object EdgeStream {
 
   /** Cumulative out-degree per source across batches — explicit keyed
     * state via mapGroupsWithState (update output mode). State is one long
-    * per distinct source, but the key set is unbounded on a crawled
-    * corpus, so each group carries a processing-time TTL: a source idle
-    * for `ttl` has its state dropped (the timed-out invocation re-emits
-    * the final total, then removes). A source that reappears later counts
-    * from zero — the contract is "cumulative within an activity epoch";
-    * the batch degree aggregation remains the all-time answer.
+    * per distinct source.
     *
-    * Deployment note: processing-time timers make the engine schedule a
-    * micro-batch EVERY trigger even with no new data (timers are
-    * wall-clock driven), so run this sink with an explicit
+    * TTL is an explicit OPT-IN (ADVICE r5 — a defaulted TTL silently
+    * turned all-time totals into per-activity-epoch totals for existing
+    * callers, and re-emitted a duplicate (src, total) row on timeout):
+    *  - `ttl = None` (the default): classic all-time cumulative counts,
+    *    `NoTimeout`, state never dropped — bounded only by the distinct
+    *    key count;
+    *  - `ttl = Some(d)`: the key set is unbounded on a crawled corpus, so
+    *    each group carries a processing-time TTL — a source idle for `d`
+    *    has its state dropped (the timed-out invocation re-emits the
+    *    final total, then removes), and a source that reappears later
+    *    counts from zero. The contract becomes "cumulative within an
+    *    activity epoch"; the batch degree aggregation remains the
+    *    all-time answer.
+    *
+    * Deployment note (TTL mode): processing-time timers make the engine
+    * schedule a micro-batch EVERY trigger even with no new data (timers
+    * are wall-clock driven), so run that sink with an explicit
     * `Trigger.ProcessingTime(...)` interval — under the default
     * zero-interval trigger the query busy-loops empty batches, and
     * `processAllAvailable()` never observes a quiescent stream.
     */
-  def cumulativeOutDegree(edges: Dataset[Edge], ttl: String = "30 minutes"): Dataset[(Long, Long)] = {
+  def cumulativeOutDegree(edges: Dataset[Edge], ttl: Option[String] = None): Dataset[(Long, Long)] = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val timeoutConf = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     edges
       .groupByKey(_.src)
-      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[Long, (Long, Long)](timeoutConf) {
         (src: Long, rows: Iterator[Edge], state: GroupState[Long]) =>
           if (state.hasTimedOut) {
             val last = state.getOption.getOrElse(0L)
@@ -105,7 +115,7 @@ object EdgeStream {
           } else {
             val total = state.getOption.getOrElse(0L) + rows.size
             state.update(total)
-            state.setTimeoutDuration(ttl)
+            ttl.foreach(state.setTimeoutDuration)
             (src, total)
           }
       }

@@ -33,6 +33,14 @@ object Similarity {
     * queries: (query_id, embedding); corpus: (vec_id, embedding).
     * Returns (query_id, vec_id, cosine, rank<=k); excludes self-matches
     * when ids collide.
+    *
+    * COST BOUND — this is the exact BASELINE, not the scale path: the
+    * cross join scores |corpus| × |queries| rows (the query side is
+    * broadcast, so the corpus never shuffles, but the row blow-up is
+    * irreducible). Fine for a handful of probe queries or recall
+    * measurement; for a large query set use `lshTopK` (banded sign-bit
+    * buckets) or `ivfTopK` (inverted-file cells) — both touch only a
+    * candidate subset per query.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -88,21 +96,26 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(numPlanes % bands == 0)
     val rows = numPlanes / bands
-    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+    def banded(df: DataFrame, idAs: String): DataFrame =
       signatures(df, dim, numPlanes, seed).select(
-        col(df.columns.head).as(idAs), col("embedding").as(embAs),
+        col(df.columns.head).as(idAs),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("bucket"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
           .as(Seq("band", "key"))
       )
-    val c = banded(corpus, "vec_id", "c_emb")
-    val q = banded(queries, "query_id", "q_emb")
-    val cand = c.join(q, Seq("band", "key"))
+    // Dedup candidate PAIRS on ids only (VERDICT r5 wart: a pair that
+    // collides in several bands used to drag both embedding vectors
+    // through the distinct's shuffle numPlanes/bands times); the vectors
+    // re-join once, for the re-rank only.
+    val cand = banded(corpus, "vec_id").join(banded(queries, "query_id"), Seq("band", "key"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("q_emb"), col("c_emb"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
+    val cEmb = corpus.select(col(corpus.columns.head).as("vec_id"), col("embedding").as("c_emb"))
+    val qEmb = queries.select(col(queries.columns.head).as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     cand
+      .join(cEmb, "vec_id").join(qEmb, "query_id")
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb").cast("array<double>"), col("c_emb").cast("array<double>")).as("cosine"))
       .withColumn("rank", row_number().over(w))
@@ -200,18 +213,23 @@ object Similarity {
   ): DataFrame = {
     require(numPlanes % bands == 0)
     val rows = numPlanes / bands
+    // ids-only through the band join + distinct (same wart fix as
+    // lshTopK); vectors re-join once for the exact verify
     val s = signatures(corpus, dim, numPlanes, seed).select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("bucket"), b * rows).bitwiseAND((1L << rows) - 1)): _*))
         .as(Seq("band", "key"))
     )
-    s.select(col("vec_id").as("a"), col("embedding").as("ea"), col("band"), col("key"))
-      .join(s.select(col("vec_id").as("b"), col("embedding").as("eb"), col("band"), col("key")),
-        Seq("band", "key"))
+    val pairs = s.select(col("vec_id").as("a"), col("band"), col("key"))
+      .join(s.select(col("vec_id").as("b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ea"), col("eb"))
+      .select(col("a"), col("b"))
       .distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .select(col("a"), col("b"),
         cosine(col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -96,7 +96,7 @@ class EdgeStreamSpec extends SparkSpec {
   test("mapGroupsWithState TTL: idle source state expires and recounts from zero") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Edge]
-    val q = EdgeStream.cumulativeOutDegree(mem.toDS(), ttl = "200 milliseconds")
+    val q = EdgeStream.cumulativeOutDegree(mem.toDS(), ttl = Some("200 milliseconds"))
       .toDF("src", "total")
       .writeStream.format("memory").queryName("es_ttl").outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("25 milliseconds"))
