@@ -395,7 +395,7 @@ object SparkEntry {
       linkUniverse(s, d) match { case (edges, papers, authors, emb) =>
         LinkProb.scoreTree(
           LinkFeatures.allFeatures(edges, papers, authors, emb, s.emptyDataFrame.select()),
-          graft.analytics.TreeEnsemble.DefaultModel)
+          graft.analytics.TreeModel64.Model)
           .select(col("citingpaperID"), col("citedpaperID"), col("authorID"),
             round(col("proba"), 6).as("proba"))
       }
@@ -1335,7 +1335,7 @@ object SparkEntry {
     * hash-match.
     */
   private def linkProbTreeOracle: String = {
-    val m = graft.analytics.TreeEnsemble.DefaultModel
+    val m = graft.analytics.TreeModel64.Model
     def imp(f: String): String = f match {
       // correlation features are null in this universe, like linkProbOracle
       case "cross_correlation" | "window_cross_correlation" => "(-2.0)"

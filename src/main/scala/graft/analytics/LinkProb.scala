@@ -74,8 +74,15 @@ object LinkProb {
     * Like `score`, a single codegen'd projection (the model ships as
     * plan literals).
     */
+  /** Nonlinear-backend scorer: routes through the TreeEnsembleScore
+    * Catalyst expression (one generated Java method per tree), so the
+    * projection stays whole-stage-codegen'd at ANY ensemble size — the
+    * round-5 nested-CASE scorer fell out of codegen past ~16x3. Numerics
+    * are bit-identical to TreeEnsemble.predictCol.
+    */
   def scoreTree(features: DataFrame, model: TreeEnsemble.Model): DataFrame =
-    features.withColumn("proba", TreeEnsemble.predictCol(model))
+    features.withColumn("proba",
+      graft.functions.TreeEnsembleScore.score(model, ModelFeatures.map(f => imputed(col(f)))))
 
   /** The `edge_proba` product (compute_link_prob.py:29-31): key columns +
     * proba only.

@@ -72,6 +72,70 @@ class TreeEnsembleSpec extends SparkSpec {
     assert(auc > 0.80, s"tree AUC $auc degenerate on the linear task")
   }
 
+  test("TreeModel64 is exactly the trained 64x5 literal (golden, TrainTreeModel)") {
+    val t = TreeEnsemble.train(
+      TreeEnsemble.syntheticLabeledNonlinear(spark, 20000L), F, "label",
+      numTrees = 64, maxDepth = 5)
+    val m = TreeModel64.Model
+    assert(t.trees.length == m.trees.length)
+    t.trees.zip(m.trees).zipWithIndex.foreach { case ((ta, tb), i) =>
+      assert(ta.sameElements(tb), s"tree $i differs from the shipped literal")
+    }
+  }
+
+  test("TreeEnsembleScore expression matches predictCol bit-exactly (16x3)") {
+    import graft.functions.TreeEnsembleScore
+    val m = TreeEnsemble.DefaultModel
+    val df = TreeEnsemble.syntheticLabeledNonlinear(spark, 2000L)
+    val rows = df.select(
+      TreeEnsemble.predictCol(m).as("a"),
+      TreeEnsembleScore.score(m, F.map(f => LinkProb.imputed(col(f)))).as("b")
+    ).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"expression diverges from predictCol: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+  }
+
+  test("TreeEnsembleScore 64x5 matches an independent Scala routing (bit-exact)") {
+    import graft.functions.TreeEnsembleScore
+    val m = TreeModel64.Model
+    val df = TreeEnsemble.syntheticLabeledNonlinear(spark, 1000L)
+    val got = df.select(
+      (col("id")) +: F.map(f => col(f)) :+
+        TreeEnsembleScore.score(m, F.map(f => LinkProb.imputed(col(f)))).as("p"): _*
+    ).collect()
+    got.foreach { r =>
+      val f = F.indices.map(i => r.getDouble(1 + i)).toArray
+      var acc = 0.0
+      m.trees.foreach { nodes =>
+        var n = 1
+        while (nodes(n).feature >= 0)
+          n = (n << 1) + (if (f(nodes(n).feature) < nodes(n).threshold) 0 else 1)
+        acc += nodes(n).prob
+      }
+      val want = acc / m.trees.length.toDouble
+      assert(r.getDouble(1 + F.size) == want, s"row ${r.getLong(0)}: ${r.getDouble(1 + F.size)} vs $want")
+    }
+  }
+
+  test("TreeModel64 scoring stays inside whole-stage codegen (no Janino fallback)") {
+    // spark.sql.codegen.fallback=false turns a whole-stage compile
+    // failure into a thrown error instead of a silent interpreted
+    // fallback — the round-5 ceiling (16x3) is asserted LIFTED here.
+    val dir = java.nio.file.Files.createTempDirectory("tree64_score").toString
+    TreeEnsemble.syntheticLabeledNonlinear(spark, 500L).write.mode("overwrite").parquet(dir)
+    val data = spark.read.parquet(dir)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val scored = LinkProb.scoreTree(data, TreeModel64.Model)
+      val plan = scored.queryExecution.executedPlan.toString
+      // the simple plan string marks a WholeStageCodegen span with "*(n)"
+      assert(plan.contains("*("), s"no whole-stage span in:\n${plan.take(400)}")
+      assert(!plan.contains("Exchange"), s"scoring plan shuffles:\n${plan.take(400)}")
+      val probas = scored.select("proba").collect().map(_.getDouble(0))
+      assert(probas.length == 500 && probas.forall(p => p >= 0.0 && p <= 1.0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("scoring is a single codegen'd projection (no shuffle, no UDF)") {
     val gen = TreeEnsemble.syntheticLabeledNonlinear(spark, 1000L)
     val m = TreeEnsemble.train(gen, F, "label", numTrees = 8, maxDepth = 2)
