@@ -731,6 +731,45 @@ object SparkEntry {
       Clustering.lloydXY(pts, k = 4, iters = 2)
         .select(col("id"), col("x"), col("y"), col("cluster").cast("long").as("cluster"))
     }),
+    // --- ANN IVF-Flat, driver-checked end-to-end (VERDICT r5 #4): integer-coordinate embeddings (the q_kmeans trick) + the
+    //     bit-deterministic N-dim Lloyd quantizer (BIGINT centroid sums) feed the PRODUCTION ivfSearch path — broadcast-centroid argmin
+    //     assignment, nprobe cell probing, exact-cosine re-rank — with normalize=false so every float transcribes op-for-op to the
+    //     DuckDB twin (which re-derives the same centroids from unrolled CTEs). Rank-only output. -------------------------------------------
+    "q_ann_ivf" -> ((s, d) => {
+      val primes = Seq(3, 7, 11, 17, 23, 31, 43, 59)
+      val mods = Seq(97, 89, 83, 79, 73, 71, 67, 61)
+      val emb = t(s, d, "customer").filter(col("c_custkey") <= 400)
+        .select(col("c_custkey").as("vec_id"),
+          array(primes.zip(mods).map { case (p, m) =>
+            (lit(1) + (col("c_custkey") * p) % m).cast("double") }: _*).as("embedding"))
+      val cents = Clustering.lloydND(
+        emb.select(col("vec_id").as("id"), col("embedding").as("e")), k = 4, iters = 2)
+      val queries = emb.filter(col("vec_id") <= 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfSearch(emb, queries, k = 5, centroids = cents, nprobe = 2, normalize = false)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    }),
+    // --- Multimodal image path, driver-checked end-to-end (VERDICT r5 #5): deterministic cell-painted PNGs (pure-integer pixel
+    //     formulas) go through the REAL ImageIO decode inside Multimodal.extractFeatures (size-balanced repartition + per-partition
+    //     batches); the luminance-grid features are then an exact closed-form function of (id, w, h) the DuckDB twin recomputes
+    //     without PNG bytes. Per-cell pixel counts are the decode loop's actual fold lengths, transcribed term-for-term. ------------------
+    "q_media_features" -> ((s, d) => {
+      val mk = udf((id: Long, w: Int, h: Int) => Multimodal.syntheticCellPng(id, w, h))
+      val rows = t(s, d, "supplier").filter(col("s_suppkey") <= 120)
+        .select(col("s_suppkey").cast("long").as("media_id"),
+          lit("image").as("kind"),
+          mk(col("s_suppkey").cast("long"),
+            (lit(8) + lit(8) * pmod(col("s_suppkey"), lit(2))).cast("int"),
+            when(pmod(col("s_suppkey"), lit(3)) === 0, lit(8)).otherwise(lit(4)).cast("int")).as("media"),
+          concat(lit("synth-png://"), col("s_suppkey")).as("source"))
+      val feats = Multimodal.extractFeatures(rows).toDF()
+      val outCols = Seq(
+        col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height")) ++
+        (0 until 8).map(j => round(element_at(col("feature"), j + 1).cast("double"), 6).as(s"f$j"))
+      feats.select(outCols: _*)
+    }),
     // --- Skew primitives, driver-checked for value-identity: salting must be invisible in the RESULT. Quantities cast to long so the
     //     two-phase sum is order-proof (integer-valued TPC-H quantities). --------------------------------------------------------------------
     "q_salted_agg" -> ((s, d) => {
@@ -1932,6 +1971,8 @@ object SparkEntry {
          FROM supplier WHERE s_suppkey <= 200""",
     "q_ann_lsh" -> annLshOracle,
     "q_kmeans" -> kmeansOracle,
+    "q_ann_ivf" -> annIvfOracle,
+    "q_media_features" -> mediaFeaturesOracle,
     "q_salted_agg" ->
       """SELECT l_partkey AS key, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum
          FROM lineitem GROUP BY 1""",
@@ -1978,6 +2019,112 @@ object SparkEntry {
          SELECT query_id, vec_id,
            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
          FROM scored) WHERE rank <= 5"""
+  }
+
+  /** DuckDB twin of the q_ann_ivf pipeline: re-derives the integer
+    * embeddings, the lloydND(k=4, iters=2) centroids (exact BIGINT sums,
+    * dimension-ascending squared-distance folds), then the ivfSearch
+    * stages — cell assignment and nprobe=2 probing under the |c|^2 -
+    * 2*dot metric with the SAME left-to-right float op order as the
+    * Catalyst expressions, and the exact-cosine re-rank. Rank-only
+    * output keeps the compare integer-exact.
+    */
+  private def annIvfOracle: String = {
+    val primes = Seq(3, 7, 11, 17, 23, 31, 43, 59)
+    val mods = Seq(97, 89, 83, 79, 73, 71, 67, 61)
+    val dims = primes.length
+    val embCols = primes.zip(mods).zipWithIndex.map { case ((p, m), j) =>
+      s"CAST(1 + (c_custkey*$p)%$m AS DOUBLE) AS e$j"
+    }.mkString(", ")
+    val centFromEmb = (0 until dims).map(j => s"e$j AS c$j").mkString(", ")
+    // lloydND assignment: dimension-ascending fold of squared diffs
+    def lloydDist = (0 until dims).map(j => s"(m.e$j - c.c$j)*(m.e$j - c.c$j)").mkString(" + ")
+    def lloydAssign(cents: String): String =
+      s"""SELECT vid, ci AS cluster FROM (
+            SELECT m.vid, c.ci,
+              row_number() OVER (PARTITION BY m.vid ORDER BY $lloydDist, c.ci) AS rn
+            FROM emb m, $cents c) WHERE rn = 1"""
+    def lloydUpdate(cents: String, assigned: String): String = {
+      val sums = (0 until dims).map(j => s"SUM(CAST(m.e$j AS BIGINT)) AS s$j").mkString(", ")
+      val news = (0 until dims).map(j => s"COALESCE(CAST(s.s$j AS DOUBLE)/s.n, c.c$j) AS c$j").mkString(", ")
+      s"""SELECT c.ci, $news
+          FROM $cents c LEFT JOIN (
+            SELECT a.cluster, $sums, count(*) AS n
+            FROM $assigned a JOIN emb m ON m.vid = a.vid GROUP BY 1) s ON s.cluster = c.ci"""
+    }
+    // ivfSearch cell metric: |c|^2 (ascending) - 2.0 * dot (ascending)
+    val cellD = s"(${(0 until dims).map(j => s"c.c$j*c.c$j").mkString(" + ")})" +
+      s" - 2.0*(${(0 until dims).map(j => s"m.e$j*c.c$j").mkString(" + ")})"
+    def dot(a: String, b: String) = (0 until dims).map(j => s"$a.e$j*$b.e$j").mkString(" + ")
+    s"""WITH emb AS MATERIALIZED (
+           SELECT c_custkey AS vid, $embCols FROM customer WHERE c_custkey <= 400),
+         k0 AS MATERIALIZED (
+           SELECT row_number() OVER (ORDER BY vid) - 1 AS ci, $centFromEmb
+           FROM (SELECT * FROM emb ORDER BY vid LIMIT 4)),
+         a1 AS MATERIALIZED (${lloydAssign("k0")}),
+         k1 AS MATERIALIZED (${lloydUpdate("k0", "a1")}),
+         a2 AS MATERIALIZED (${lloydAssign("k1")}),
+         k2 AS MATERIALIZED (${lloydUpdate("k1", "a2")}),
+         assigned AS MATERIALIZED (
+           SELECT vid, ci AS cell FROM (
+             SELECT m.vid, c.ci,
+               row_number() OVER (PARTITION BY m.vid ORDER BY $cellD, c.ci) AS rn
+             FROM emb m, k2 c) WHERE rn = 1),
+         probes AS MATERIALIZED (
+           SELECT vid AS query_id, ci AS cell FROM (
+             SELECT m.vid, c.ci,
+               row_number() OVER (PARTITION BY m.vid ORDER BY $cellD, c.ci) AS rn
+             FROM emb m, k2 c WHERE m.vid <= 3) WHERE rn <= 2),
+         cand AS MATERIALIZED (
+           SELECT p.query_id, a.vid AS vec_id
+           FROM probes p JOIN assigned a ON a.cell = p.cell
+           WHERE a.vid <> p.query_id),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id,
+             CASE WHEN sqrt(${dot("q", "q")}) = 0 OR sqrt(${dot("m", "m")}) = 0 THEN 0.0
+                  ELSE (${dot("q", "m")}) / (sqrt(${dot("q", "q")}) * sqrt(${dot("m", "m")})) END AS cosine
+           FROM cand
+           JOIN emb q ON q.vid = cand.query_id
+           JOIN emb m ON m.vid = cand.vec_id)
+       SELECT query_id, vec_id, rank FROM (
+         SELECT query_id, vec_id,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         FROM scored) WHERE rank <= 5"""
+  }
+
+  /** DuckDB twin of q_media_features: the decoded luminance features are
+    * a closed-form function of (id, w, h) because the painted PNG cells
+    * align exactly with the decoder's 4x2 grid — per cell the BT.601
+    * luma term t_j repeats cnt = (w/4)*(h/2) times, so the decoder's
+    * running float sum is the left-assoc fold of cnt equal terms,
+    * transcribed term-for-term per shape (float literals cast to DOUBLE
+    * so DuckDB doesn't slip into DECIMAL arithmetic).
+    */
+  private def mediaFeaturesOracle: String = {
+    def fold(term: String, n: Int): String = Seq.fill(n)(term).mkString(" + ")
+    val tCols = (0 until 8).map { j =>
+      s"(CAST(0.299 AS DOUBLE)*((media_id*31 + $j*97)%256) + " +
+      s"CAST(0.587 AS DOUBLE)*((media_id*57 + $j*13)%256)) + " +
+      s"CAST(0.114 AS DOUBLE)*((media_id*89 + $j*41)%256) AS t$j"
+    }.mkString(",\n           ")
+    val fCols = (0 until 8).map { j =>
+      s"""round(CAST(CAST((CASE WHEN cnt = 4 THEN ${fold(s"t$j", 4)}
+                               WHEN cnt = 8 THEN ${fold(s"t$j", 8)}
+                               ELSE ${fold(s"t$j", 16)} END)
+                 / (cnt * CAST(255.0 AS DOUBLE)) AS REAL) AS DOUBLE), 6) AS f$j"""
+    }.mkString(",\n         ")
+    s"""WITH base AS MATERIALIZED (
+           SELECT CAST(s_suppkey AS BIGINT) AS media_id,
+                  8 + 8*(s_suppkey%2) AS w,
+                  CASE WHEN s_suppkey%3 = 0 THEN 8 ELSE 4 END AS h
+           FROM supplier WHERE s_suppkey <= 120),
+         shaped AS MATERIALIZED (
+           SELECT media_id, w, h, (w//4)*(h//2) AS cnt,
+           $tCols
+           FROM base)
+       SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         $fCols
+       FROM shaped"""
   }
 
   /** DuckDB twin of Clustering.lloydXY(k=4, iters=2) on the q_kmeans

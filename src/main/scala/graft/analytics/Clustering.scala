@@ -59,6 +59,50 @@ object Clustering {
     * index. A cluster that loses all members keeps its previous
     * centroid.
     */
+  /** N-dimensional sibling of lloydXY, returning the CENTROIDS instead of
+    * an assignment — the bit-deterministic coarse quantizer behind the
+    * driver-checked IVF path (Similarity.ivfSearch / q_ann_ivf).
+    *
+    * Input df(id, e: array&lt;double&gt;) with INTEGER-VALUED coordinates:
+    * init = the k rows with smallest id, then `iters` (assign, update)
+    * steps where each centroid update is an exact per-dimension BIGINT
+    * sum (order-proof at any partitioning) followed by one IEEE division.
+    * Assignment = argmin of the squared L2 distance, summed dimension-
+    * ascending; ties to the lowest centroid index; an emptied cluster
+    * keeps its previous centroid. The whole trajectory transcribes 1:1
+    * to unrolled SQL CTEs (same pattern q_kmeans proved for 2-d).
+    */
+  def lloydND(df: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = df.orderBy(col("id")).limit(k).select(col("e"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == k, s"need at least $k rows to seed $k clusters")
+    val dims = cents(0).length
+    def assignCol(cs: Array[Array[Double]]) =
+      cs.zipWithIndex.map { case (c, i) =>
+        val d = c.zipWithIndex.map { case (cj, j) =>
+          val dj = element_at(col("e"), j + 1) - lit(cj)
+          dj * dj
+        }.reduce(_ + _) // dimension-ascending left fold, same as the SQL twin
+        struct(d.as("d"), lit(i).as("i"))
+      }.reduce((a, b) => least(a, b)).getField("i").as("cluster")
+    var it = 0
+    while (it < iters) {
+      val aggs = (0 until dims).map(j =>
+        sum(element_at(col("e"), j + 1).cast("long")).as(s"s$j")) :+ count(lit(1)).as("n")
+      val sums = df.select(col("e"), assignCol(cents))
+        .groupBy(col("cluster"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> ((0 until dims).map(j => r.getLong(1 + j)).toArray, r.getLong(1 + dims)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        sums.get(i).map { case (s, n) => s.map(_.toDouble / n) }.getOrElse(old)
+      }
+      it += 1
+    }
+    cents
+  }
+
   def lloydXY(df: DataFrame, k: Int, iters: Int): DataFrame = {
     def assignCol(cents: Array[(Double, Double)]) = {
       val dx = col("x")

@@ -93,6 +93,37 @@ object Multimodal {
     true
   }
 
+  /** Deterministic test PNG: a w x h RGB image painted in the SAME 4x2
+    * grid `decode` samples, each cell a constant color derived from
+    * (id, cell) by pure integer math — so the decoded luminance features
+    * are an exact closed-form function of (id, w, h) that a SQL oracle
+    * can recompute without touching PNG bytes (PNG is lossless for RGB;
+    * the byte stream itself is encoder-dependent and deliberately NOT
+    * part of the contract). Drives the driver-checked q_media_features.
+    * Use w divisible by 4 and h by 2 so painted cells align exactly with
+    * decode's grid.
+    */
+  def syntheticCellPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    imageIoReady
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = (y * 2 / h) * 4 + (x * 4 / w)
+        val r = ((id * 31 + cell * 97) % 256).toInt
+        val g = ((id * 57 + cell * 13) % 256).toInt
+        val b = ((id * 89 + cell * 41) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** REAL image decode via the JDK's pure-Java ImageIO readers (PNG, BMP,
     * GIF, WBMP — no native codecs needed, so this works in any JVM
     * container). Width/height come from the actual pixel raster, and the

@@ -146,7 +146,6 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       fitSampleCap: Long = 100000L
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.linalg.Vectors
     require(nprobe <= nlist)
     // ---- quantizer fit: bounded per-partition head sample ---------------
@@ -168,17 +167,38 @@ object Similarity {
       .withColumn("features", toUnitVec(col("embedding")))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(20).fit(fitRows)
-    val cents = model.clusterCenters
+    ivfSearch(corpus, queries, k, model.clusterCenters.map(_.toArray), nprobe, normalize = true)
+  }
 
+  /** The pure-Catalyst IVF search under GIVEN coarse centroids: assign
+    * every corpus vector to its nearest cell (codegen'd broadcast-literal
+    * argmin), probe each query's `nprobe` nearest cells by the IDENTICAL
+    * unit-sphere metric |c|^2 - 2*dot(x, c), and exact-cosine re-rank the
+    * cell candidates. Split out of `ivfTopK` so the quantizer is
+    * pluggable: production fits MLlib k-means on a bounded sample;
+    * the driver-checked q_ann_ivf passes centroids from the
+    * bit-deterministic integer Lloyd (Clustering.lloydND) with
+    * `normalize = false`, which makes every float in the pipeline
+    * reproducible op-for-op in the DuckDB oracle.
+    */
+  def ivfSearch(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int, normalize: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe <= centroids.length)
     // ---- shared Catalyst cell metric (assignment == probing) ------------
     def unitCol(emb: Column): Column = {
       val d = emb.cast("array<double>")
-      val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (a, v) => a + v))
-      when(n === 0, d).otherwise(transform(d, x => x / n))
+      if (!normalize) d
+      else {
+        val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (a, v) => a + v))
+        when(n === 0, d).otherwise(transform(d, x => x / n))
+      }
     }
-    def cellStructs(unit: Column): Column = array(cents.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.toArray.map(lit): _*)
-      val c2 = c.toArray.map(x => x * x).sum
+    def cellStructs(unit: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
       val dot = aggregate(zip_with(unit, cl, (x, y) => x * y), lit(0.0d), (a, v) => a + v)
       struct((lit(c2) - lit(2.0) * dot).as("d"), lit(i).as("cell"))
     }: _*)
