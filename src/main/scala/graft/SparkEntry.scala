@@ -784,6 +784,64 @@ object SparkEntry {
       graph.Skew.saltedJoin(li, dim, "pk", salts = 8, saltSource = col("l_orderkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sum(col("qty")).as("tq"))
+    }),
+    // --- quality scoring + document fingerprint, driver-checked end-to-end (VERDICT r5: last spec-only text-analysis
+    //     components). The quality blend is quantized to integer micro-units via floor(raw*1e6 + 0.5) — identical
+    //     double op order on both engines makes the integer bit-stable, sidestepping decimal round()'s engine-specific
+    //     half-tie handling — and the rolling Rabin-Karp fingerprint is already an exact BIGINT. --------------------------------------
+    "q_quality_fp" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        floor(TextAnalysis.qualityScoreRaw(col("text")) * lit(1e6) + lit(0.5)).cast("long").as("quality_micro"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // --- embedding-cosine near-dup pairs, driver-checked end-to-end (last spec-only dedup component): the natural
+    //     corpus has no pair above 0.95 cosine, so deterministic perturbed twins are PLANTED (vec_id+10000, first
+    //     component nudged by an id-dependent step); the oracle regenerates the identical md5 plane constants and
+    //     replays signatures -> band join -> exact-cosine verify in SQL. --------------------------------------------------------------
+    "q_near_dup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val delta = (pmod(col("vec_id"), lit(5)) + lit(1)).cast("double") * lit(0.01)
+      val planted = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + delta).cast("float")).otherwise(x)).as("embedding"))
+      Similarity.nearDupPairs(emb.union(planted), threshold = 0.95, dim = 64)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+    }),
+    // --- Multimodal AUDIO path, driver-checked end-to-end: deterministic PCM WAVs (pure-integer sample formula) go through the
+    //     REAL RIFF chunk-walk decode inside Multimodal.extractFeatures; every per-window RMS partial sum is exact in double
+    //     (numerators < 2^52), so the DuckDB twin recomputes the features from plain integer sums without WAV bytes. ---------------------
+    "q_audio_features" -> ((s, d) => {
+      val mk = udf((id: Long, frames: Int) => Multimodal.syntheticWav(id, frames))
+      val rows = t(s, d, "supplier").filter(col("s_suppkey") <= 120)
+        .select(col("s_suppkey").cast("long").as("media_id"),
+          lit("audio").as("kind"),
+          mk(col("s_suppkey").cast("long"),
+            (lit(800) + lit(400) * pmod(col("s_suppkey"), lit(5))).cast("int")).as("media"),
+          concat(lit("synth-wav://"), col("s_suppkey")).as("source"))
+      val feats = Multimodal.extractFeatures(rows).toDF()
+      val outCols = Seq(col("media_id"), col("duration_ms")) ++
+        (0 until 8).map(j => round(element_at(col("feature"), j + 1).cast("double"), 6).as(s"f$j"))
+      feats.select(outCols: _*)
+    }),
+    // --- Multimodal VIDEO path, driver-checked end-to-end: deterministic animated GIFs (solid integer-formula frames, explicit
+    //     GraphicControlExtension delays) go through the REAL multi-frame ImageIO decode — frame sampling, metadata-delay duration,
+    //     per-frame luminance — and the DuckDB twin replays the 64-term luma fold per sampled frame (q_media_features precedent). ---------
+    "q_video_frames" -> ((s, d) => {
+      val mk = udf((id: Long, frames: Int) => Multimodal.syntheticGif(id, frames))
+      val rows = t(s, d, "supplier").filter(col("s_suppkey") <= 60)
+        .select(col("s_suppkey").cast("long").as("media_id"),
+          lit("video").as("kind"),
+          mk(col("s_suppkey").cast("long"),
+            (lit(2) + pmod(col("s_suppkey"), lit(9))).cast("int")).as("media"),
+          concat(lit("synth-gif://"), col("s_suppkey")).as("source"))
+      val feats = Multimodal.extractFeatures(rows).toDF()
+      val outCols = Seq(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("duration_ms")) ++
+        (0 until 8).map(j => round(element_at(col("feature"), j + 1).cast("double"), 6).as(s"f$j"))
+      feats.select(outCols: _*)
     })
   )
 
@@ -1978,8 +2036,95 @@ object SparkEntry {
          FROM lineitem GROUP BY 1""",
     "q_salted_join" ->
       """SELECT p_brand, count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tq
-         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"""
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
+    "q_quality_fp" -> qualityFpOracle,
+    "q_near_dup" -> nearDupOracle,
+    "q_audio_features" -> audioFeaturesOracle,
+    "q_video_frames" -> videoFramesOracle
   )
+
+  /** DuckDB twin of the q_quality_fp pipeline: the quality blend's four
+    * components re-derived with the IDENTICAL double op order as
+    * TextAnalysis.qualityScoreRaw (left-to-right blend, same int→double
+    * promotions), quantized to integer micro-units; the fingerprint
+    * replays the Rabin-Karp fold ((acc*31) mod M + c) mod M over the
+    * char codes of the whitespace-normalized lowercased text (documents
+    * are ASCII, so ascii() agrees between engines on every char).
+    * Stopword lists are generated from TextAnalysis.stopwords — one
+    * source of truth.
+    */
+  private def qualityFpOracle: String = {
+    def hits(lang: String) = {
+      val inList = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(str_split_regex(lower(text), '\\s+'), t -> t IN ($inList)))"
+    }
+    s"""WITH base AS (
+           SELECT doc_id, text,
+             length(text) AS nchars,
+             len(list_filter(str_split_regex(text, '\\s+'), t -> t <> '')) AS ntoks,
+             length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS nalpha,
+             (${hits("en")} + ${hits("de")} + ${hits("fr")} + ${hits("es")}) AS swhits
+           FROM documents),
+         parts AS (
+           SELECT doc_id, text,
+             CASE WHEN nchars >= 200 AND nchars <= 50000 THEN 1.0
+                  WHEN nchars >= 50 THEN 0.5 ELSE 0.1 END AS len_score,
+             (nalpha + 0.0) / (nchars + 1.0) AS alpha_ratio,
+             least(swhits * 8.0 / (ntoks + 1.0), 1.0) AS sw_density,
+             CASE WHEN (nchars + 0.0) / (ntoks + 1.0) >= 3
+                   AND (nchars + 0.0) / (ntoks + 1.0) <= 12 THEN 1.0 ELSE 0.3 END AS wl_score
+           FROM base)
+       SELECT doc_id,
+         CAST(floor((len_score*0.3 + alpha_ratio*0.3 + sw_density*0.2 + wl_score*0.2)*1e6 + 0.5) AS BIGINT) AS quality_micro,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(str_split_regex(regexp_replace(lower(text), '\\s+', ' ', 'g'), ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> ((acc * 31) % 2147483647 + c) % 2147483647) AS fp
+       FROM parts"""
+  }
+
+  /** DuckDB twin of the q_near_dup pipeline: re-plants the perturbed
+    * twins (same float rounding: double nudge, CAST back to FLOAT),
+    * regenerates the IDENTICAL seeded md5 plane constants, and replays
+    * signatures → banded bucket join → exact-cosine verify in SQL.
+    */
+  private def nearDupOracle: String = {
+    val pl = Similarity.planes(numPlanes = 16, dim = 64, seed = 42)
+    val planeRows = pl.zipWithIndex
+      .map { case (v, p) => s"($p, [${v.mkString(", ")}])" }
+      .mkString(",\n             ")
+    s"""WITH planes AS MATERIALIZED (SELECT * FROM (VALUES
+             $planeRows) t(p, v)),
+         base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         planted AS MATERIALIZED (
+           SELECT vec_id + 10000 AS vec_id,
+                  list_concat([CAST(embedding[1] + (vec_id % 5 + 1) * 0.01 AS FLOAT)],
+                              embedding[2:]) AS embedding
+           FROM base WHERE vec_id < 20),
+         corpus AS MATERIALIZED (
+           SELECT * FROM base UNION ALL SELECT * FROM planted),
+         emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM corpus),
+         sig AS MATERIALIZED (
+           SELECT m.vec_id,
+                  CAST(sum(CASE WHEN list_dot_product(m.e, pl.v) >= 0
+                                THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+           FROM emb m, planes pl GROUP BY m.vec_id),
+         banded AS MATERIALIZED (
+           SELECT s.vec_id, b.band, (s.bucket >> (CAST(b.band AS INT) * 4)) & 15 AS key
+           FROM sig s, (SELECT unnest(range(4)) AS band) b),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key
+           WHERE x.vec_id < y.vec_id),
+         scored AS (
+           SELECT cand.a, cand.b,
+             CASE WHEN sqrt(list_dot_product(ea.e, ea.e)) = 0 OR sqrt(list_dot_product(eb.e, eb.e)) = 0 THEN 0.0
+                  ELSE list_dot_product(ea.e, eb.e) /
+                       (sqrt(list_dot_product(ea.e, ea.e)) * sqrt(list_dot_product(eb.e, eb.e))) END AS cosine
+           FROM cand JOIN emb ea ON ea.vec_id = cand.a JOIN emb eb ON eb.vec_id = cand.b)
+       SELECT a, b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.95"""
+  }
 
   /** DuckDB twin of Similarity.lshTopK(k=5, dim=64, numPlanes=16,
     * bands=4): the plane constants are generated from the IDENTICAL
@@ -2125,6 +2270,72 @@ object SparkEntry {
        SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
          $fCols
        FROM shaped"""
+  }
+
+  /** DuckDB twin of q_audio_features: re-derives the synthetic PCM
+    * samples s_i = ((id*31 + i*17) mod 2001) - 1000 and the decoder's
+    * per-window RMS. Every decoder partial sum of (s/32768)^2 is EXACT
+    * in double — each term is s^2/2^30 with numerator < 2^52 — so a
+    * plain integer SUM(s*s) reproduces the left-assoc float fold
+    * bit-for-bit (no term-by-term transcription needed, unlike the luma
+    * folds of q_media_features / q_video_frames).
+    */
+  private def audioFeaturesOracle: String = {
+    val fCols = (0 until 8).map { j =>
+      s"round(CAST(max(CASE WHEN w = $j THEN f END) AS DOUBLE), 6) AS f$j"
+    }.mkString(",\n         ")
+    s"""WITH ids AS MATERIALIZED (
+           SELECT CAST(s_suppkey AS BIGINT) AS media_id,
+                  CAST(800 + 400 * (s_suppkey % 5) AS BIGINT) AS frames
+           FROM supplier WHERE s_suppkey <= 120),
+         vals AS MATERIALIZED (
+           SELECT media_id, frames, (i * 8) // frames AS w,
+                  ((media_id*31 + i*17) % 2001) - 1000 AS s
+           FROM ids, LATERAL (SELECT unnest(range(frames)) AS i)),
+         win AS MATERIALIZED (
+           SELECT media_id, frames, w,
+                  CAST(sum(s*s) AS DOUBLE) / 1073741824.0 AS ss, count(*) AS cnt
+           FROM vals GROUP BY 1, 2, 3),
+         feat AS (
+           SELECT media_id, frames, w, CAST(sqrt(ss / cnt) AS REAL) AS f FROM win)
+       SELECT media_id, CAST(frames // 8 AS BIGINT) AS duration_ms,
+         $fCols
+       FROM feat GROUP BY 1, 2"""
+  }
+
+  /** DuckDB twin of q_video_frames: slot s of a clip with n frames
+    * samples frame fr = (s*n)//min(8,n); each sampled 8x8 solid frame's
+    * feature is the decoder's 64-term left-assoc fold of one BT.601 luma
+    * value, transcribed term-for-term (the q_media_features pattern);
+    * duration is the sum of the explicit 10 cs per-frame delays; slots
+    * past the clip's frame count stay -1.
+    */
+  private def videoFramesOracle: String = {
+    val fold64 = Seq.fill(64)("t").mkString(" + ")
+    val fCols = (0 until 8).map { j =>
+      s"round(COALESCE(max(CASE WHEN s = $j THEN f END), CAST(-1.0 AS DOUBLE)), 6) AS f$j"
+    }.mkString(",\n         ")
+    s"""WITH ids AS MATERIALIZED (
+           SELECT CAST(s_suppkey AS BIGINT) AS media_id,
+                  CAST(2 + (s_suppkey % 9) AS BIGINT) AS n
+           FROM supplier WHERE s_suppkey <= 60),
+         slots AS MATERIALIZED (
+           SELECT media_id, n, s, (s * n) // least(8, n) AS fr
+           FROM ids, LATERAL (SELECT unnest(range(least(8, n))) AS s)),
+         terms AS MATERIALIZED (
+           SELECT media_id, n, s,
+             (CAST(0.299 AS DOUBLE)*((media_id*31 + fr*97)%256) +
+              CAST(0.587 AS DOUBLE)*((media_id*57 + fr*13)%256)) +
+              CAST(0.114 AS DOUBLE)*((media_id*89 + fr*41)%256) AS t
+           FROM slots),
+         feats AS MATERIALIZED (
+           SELECT media_id, n, s,
+             CAST(CAST(($fold64) / (64 * CAST(255.0 AS DOUBLE)) AS REAL) AS DOUBLE) AS f
+           FROM terms)
+       SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+         CAST(n * 100 AS BIGINT) AS duration_ms,
+         $fCols
+       FROM feats GROUP BY 1, 2, 3, 4"""
   }
 
   /** DuckDB twin of Clustering.lloydXY(k=4, iters=2) on the q_kmeans

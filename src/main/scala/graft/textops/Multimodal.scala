@@ -13,11 +13,15 @@ import org.apache.spark.sql.types._
   * Scala analog of `mapInPandas` batches). IMAGES decode for real through
   * the JDK's pure-Java ImageIO readers (PNG/BMP/GIF/WBMP — `decode`,
   * `resizeImage`): width/height from actual pixels, content feature from
-  * the luminance raster. Audio/video decode is STUBBED: no audio/video
-  * codecs ship in this container, so `decodeStub` produces a
-  * deterministic fake (duration derived from the bytes) with the exact
-  * signature a real decoder would have — swapping in a codec is a
-  * one-function change.
+  * the luminance raster. AUDIO decodes for real for RIFF/WAVE PCM
+  * (`decodeWav` — a pure-JVM chunk walk: duration from the data chunk,
+  * per-window RMS features). VIDEO decodes for real for animated GIF
+  * (`decodeGif` — frame count + per-frame delays from the stream's own
+  * metadata, luminance features from evenly-sampled frames). Only
+  * COMPRESSED codecs (MP3/AAC, MP4/H.264…) remain stubbed: no such
+  * codecs ship in a bare JVM, so `decodeStub` produces a deterministic
+  * fake with the exact signature a real decoder would have — swapping in
+  * a codec is a one-function change.
   */
 object Multimodal {
 
@@ -93,6 +97,117 @@ object Multimodal {
     true
   }
 
+  /** Deterministic test WAV: mono 16-bit PCM at 8 kHz with samples
+    * s_i = ((id*31 + i*17) mod 2001) - 1000 over `frames` frames — pure
+    * integer math, so the decoded duration and per-window RMS features
+    * are an exact closed-form function of (id, frames) that a SQL oracle
+    * recomputes without touching WAV bytes. Use `frames` divisible by 8
+    * so RMS windows align exactly. Drives the driver-checked
+    * q_audio_features.
+    */
+  def syntheticWav(id: Long, frames: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = frames * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      buf.putShort((((id * 31 + i.toLong * 17) % 2001) - 1000).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL audio decode for RIFF/WAVE PCM — a pure-JVM chunk walk, no
+    * codec library: integer PCM (8/16/24/32-bit, format 1) and float32
+    * (format 3), any channel count. Duration comes from the data chunk's
+    * frame count over the sample rate; the 8-dim content feature is the
+    * RMS amplitude of each of 8 equal time windows, channels mixed to
+    * mono, normalized to [0,1] (per-window stride caps work at ~1k frames
+    * per window for huge files — deterministic regardless of
+    * partitioning). Compressed audio (MP3/AAC/OGG…) falls back to
+    * `decodeStub` — the remaining declared seam: the JVM ships no
+    * compressed-audio codecs.
+    */
+  def decodeWav(row: MediaRow): MediaFeatures = {
+    val b = row.media
+    def ascii(off: Int, s: String): Boolean =
+      b.length >= off + 4 && (0 until 4).forall(i => b(off + i) == s.charAt(i).toByte)
+    if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return decodeStub(row)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // chunk walk: find "fmt " and "data"
+    var off = 12
+    var fmtOff = -1; var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+      val size = bb.getInt(off + 4)
+      if (size < 0) return decodeStub(row)
+      if (ascii(off, "fmt ")) fmtOff = off + 8
+      else if (ascii(off, "data")) { dataOff = off + 8; dataLen = math.min(size, b.length - dataOff) }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtOff < 0 || dataOff < 0) return decodeStub(row)
+    val fmt = bb.getShort(fmtOff) & 0xffff
+    val channels = math.max(1, bb.getShort(fmtOff + 2) & 0xffff)
+    val sampleRate = bb.getInt(fmtOff + 4)
+    val bits = bb.getShort(fmtOff + 14) & 0xffff
+    val okPcm = fmt == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+    val okFloat = fmt == 3 && bits == 32
+    if (sampleRate <= 0 || (!okPcm && !okFloat)) return decodeStub(row)
+    val bytesPerSample = bits / 8
+    val blockAlign = channels * bytesPerSample
+    val frames = dataLen / blockAlign
+    if (frames <= 0) return decodeStub(row)
+
+    // mono mix of frame f, normalized to [-1, 1]
+    def sample(f: Int): Double = {
+      var c = 0; var acc = 0.0
+      while (c < channels) {
+        val p = dataOff + f * blockAlign + c * bytesPerSample
+        val v = (fmt, bits) match {
+          case (1, 8)  => (java.lang.Byte.toUnsignedInt(b(p)) - 128) / 128.0
+          case (1, 16) => bb.getShort(p) / 32768.0
+          case (1, 24) =>
+            val raw = (java.lang.Byte.toUnsignedInt(b(p))) |
+              (java.lang.Byte.toUnsignedInt(b(p + 1)) << 8) | (b(p + 2).toInt << 16)
+            raw / 8388608.0
+          case (1, 32) => bb.getInt(p) / 2147483648.0
+          case _       => bb.getFloat(p).toDouble
+        }
+        acc += v; c += 1
+      }
+      acc / channels
+    }
+
+    val feat = new Array[Float](8)
+    var w = 0
+    while (w < 8) {
+      val f0 = w * frames / 8
+      val f1 = math.max(f0 + 1, (w + 1) * frames / 8)
+      val stride = math.max(1, (f1 - f0) / 1024)
+      var sum = 0.0; var cnt = 0
+      var f = f0
+      while (f < f1) {
+        val v = sample(f)
+        sum += v * v; cnt += 1
+        f += stride
+      }
+      feat(w) = math.sqrt(sum / cnt).toFloat
+      w += 1
+    }
+    decodeStub(row).copy(
+      duration_ms = frames.toLong * 1000L / sampleRate,
+      feature = feat)
+  }
+
   /** Deterministic test PNG: a w x h RGB image painted in the SAME 4x2
     * grid `decode` samples, each cell a constant color derived from
     * (id, cell) by pure integer math — so the decoded luminance features
@@ -124,6 +239,129 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic test video: an animated GIF of `frames` solid-color
+    * frames, each `cs` centiseconds long, colors a pure integer function
+    * of (id, frame). GIF's 256-entry palette holds every color of a
+    * solid frame exactly, so the per-frame luminance features decoded by
+    * `decodeGif` are an exact closed-form function of (id, frame) a SQL
+    * oracle can recompute without touching GIF bytes. Drives the
+    * driver-checked q_video_frames.
+    */
+  def syntheticGif(id: Long, frames: Int, w: Int = 8, h: Int = 8, cs: Int = 10): Array[Byte] = {
+    imageIoReady
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val r = ((id * 31 + f * 97) % 256).toInt
+      val g = ((id * 57 + f * 13) % 256).toInt
+      val b = ((id * 89 + f * 41) % 256).toInt
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(r, g, b))
+      g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      val typeSpec = javax.imageio.ImageTypeSpecifier.createFromBufferedImageType(
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val meta = writer.getDefaultImageMetadata(typeSpec, writer.getDefaultWriteParam)
+      val fmtName = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmtName).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", cs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmtName, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL video decode for animated GIF via the JDK's pure-Java GIF
+    * reader — the one motion format a bare JVM can actually demux and
+    * decode: frame count and per-frame delay come from the stream's own
+    * GraphicControlExtension metadata (duration = Σ delays), and the
+    * 8-dim content feature is the mean luminance of up to 8 frames
+    * sampled evenly across the animation (each frame's raster strided
+    * like `decode`; unused slots when the clip has <8 frames stay -1 so
+    * "no frame" is distinguishable from "black frame"). Real codec video
+    * (MP4/H.264/VP9…) falls back to `decodeStub` — the remaining
+    * declared seam: the JVM ships no video codecs.
+    */
+  def decodeGif(row: MediaRow): MediaFeatures = {
+    val b = row.media
+    val isGif = b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+    if (!isGif) return decodeStub(row)
+    try {
+      imageIoReady
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return decodeStub(row)
+      val reader = readers.next()
+      reader.setInput(iis, false, false) // need metadata for delays
+      val n = reader.getNumImages(true)
+      if (n <= 0) return decodeStub(row)
+      var durationCs = 0L
+      var i = 0
+      while (i < n) {
+        val meta = reader.getImageMetadata(i)
+        val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+        val kids = root.getChildNodes
+        var k = 0
+        var delay = 0
+        while (k < kids.getLength) {
+          val node = kids.item(k)
+          if (node.getNodeName == "GraphicControlExtension")
+            delay = node.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              .getAttribute("delayTime").toInt
+          k += 1
+        }
+        durationCs += delay
+        i += 1
+      }
+      // sample up to 8 frames evenly: slot f -> frame f*n/8 (first frame
+      // always included); fewer than 8 frames -> distinct frames only
+      val slots = math.min(8, n)
+      val feat = Array.fill(8)(-1.0f)
+      var s = 0
+      var w = 0; var h = 0
+      while (s < slots) {
+        val idx = s * n / slots
+        val img = reader.read(idx)
+        w = img.getWidth; h = img.getHeight
+        val strideX = math.max(1, w / 64); val strideY = math.max(1, h / 64)
+        var sum = 0.0; var cnt = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            cnt += 1
+            x += strideX
+          }
+          y += strideY
+        }
+        feat(s) = (sum / (cnt * 255.0)).toFloat
+        s += 1
+      }
+      reader.dispose()
+      decodeStub(row).copy(
+        width = w, height = h,
+        duration_ms = durationCs * 10L,
+        feature = feat)
+    } catch { case _: Throwable => decodeStub(row) }
+  }
+
   /** REAL image decode via the JDK's pure-Java ImageIO readers (PNG, BMP,
     * GIF, WBMP — no native codecs needed, so this works in any JVM
     * container). Width/height come from the actual pixel raster, and the
@@ -135,7 +373,9 @@ object Multimodal {
     * must never fail the batch.
     */
   def decode(row: MediaRow): MediaFeatures = {
-    if (row.kind != "image") decodeStub(row)
+    if (row.kind == "audio") decodeWav(row)
+    else if (row.kind == "video") decodeGif(row)
+    else if (row.kind != "image") decodeStub(row)
     else {
       val img =
         try {
@@ -183,8 +423,8 @@ object Multimodal {
     * range on byte size so decode batches are even (a 100 MB video and a
     * 10 KB thumbnail shouldn't share a task queue position), then decode
     * per partition with the typed API — the Scala analog of mapInPandas
-    * batches. Images decode for real (see `decode`); audio/video stay on
-    * the stub seam.
+    * batches. Images, WAV audio, and GIF video decode for real (see
+    * `decode`); compressed codecs stay on the stub seam.
     */
   def extractFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession

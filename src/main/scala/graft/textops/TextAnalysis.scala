@@ -53,7 +53,14 @@ object TextAnalysis {
     * density, and mean word length band — the usual cheap heuristics for
     * web-scrape filtering.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** The unrounded quality blend — exposed so exactness-sensitive
+    * consumers (the q_quality_fp driver check) can apply their own
+    * bit-stable quantization (`floor(raw*1e6 + 0.5)`) instead of
+    * decimal `round`, whose half-tie handling is engine-specific.
+    */
+  def qualityScoreRaw(text: Column): Column = {
     val nChars = length(text)
     val toks = filter(split(text, "\\s+"), t => t =!= "")
     val nToks = size(toks)
@@ -65,7 +72,7 @@ object TextAnalysis {
     val lenScore = when(nChars >= 200 && nChars <= 50000, 1.0)
       .when(nChars >= 50, 0.5).otherwise(0.1)
     val wordLenScore = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0).otherwise(0.3)
-    round((lenScore * 0.3 + alphaRatio * 0.3 + swDensity * 0.2 + wordLenScore * 0.2), 6)
+    lenScore * 0.3 + alphaRatio * 0.3 + swDensity * 0.2 + wordLenScore * 0.2
   }
 
   /** Rolling polynomial fingerprint (Rabin-Karp style) of the normalized

@@ -251,4 +251,65 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L).width > 0 && out(3L).sha.nonEmpty)
     assert(out(4L).width == -1 && out(4L).duration_ms > 0)
   }
+
+  test("multimodal: REAL WAV PCM decode — exact duration and closed-form RMS windows") {
+    val wav = Multimodal.syntheticWav(7L, frames = 1600)
+    val f = Multimodal.decodeWav(Multimodal.MediaRow(7L, "audio", wav, "test://wav"))
+    assert(f.duration_ms == 200, s"duration=${f.duration_ms}") // 1600 frames @ 8 kHz
+    assert(f.width == -1 && f.height == -1)
+    // closed form: window w covers frames [w*200, (w+1)*200); rms is the
+    // left-assoc fold of (s/32768)^2 — every partial sum exact in double
+    // (numerators < 2^52), so plain summation reproduces it
+    val s = (0 until 1600).map(i => ((7L * 31 + i.toLong * 17) % 2001) - 1000)
+    val want = (0 until 8).map { w =>
+      var sum = 0.0
+      s.slice(w * 200, (w + 1) * 200).foreach { v => val d = v / 32768.0; sum += d * d }
+      math.sqrt(sum / 200).toFloat
+    }
+    assert(f.feature.toSeq == want, s"${f.feature.toSeq} != $want")
+    // stereo 16-bit: channels mix to mono
+    val st = {
+      val frames = 80
+      val buf = java.nio.ByteBuffer.allocate(44 + frames * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + frames * 4).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2).putInt(8000)
+        .putInt(32000).putShort(4).putShort(16)
+      buf.put("data".getBytes).putInt(frames * 4)
+      (0 until frames).foreach { _ => buf.putShort(1000); buf.putShort(-1000) }
+      buf.array()
+    }
+    val fs = Multimodal.decodeWav(Multimodal.MediaRow(8L, "audio", st, "test://stereo"))
+    assert(fs.duration_ms == 10)
+    assert(fs.feature.forall(_ == 0.0f)) // +1000/-1000 mixes to exactly 0
+    // non-WAV bytes fall back to the stub (never throw)
+    val stub = Multimodal.decodeWav(Multimodal.MediaRow(9L, "audio", Array[Byte](1, 2, 3), "t"))
+    assert(stub.duration_ms > 0 && stub.width == -1)
+  }
+
+  test("multimodal: REAL animated-GIF decode — frame count, metadata delays, exact palette colors") {
+    val gif = Multimodal.syntheticGif(5L, frames = 6, w = 8, h = 8, cs = 12)
+    val f = Multimodal.decodeGif(Multimodal.MediaRow(5L, "video", gif, "test://gif"))
+    assert(f.width == 8 && f.height == 8)
+    assert(f.duration_ms == 6 * 120, s"duration=${f.duration_ms}") // 6 frames x 12 cs
+    // solid frames survive the GIF palette exactly; the decoder's sum is
+    // a 64-term left-assoc fold of one luma value — replicate the fold
+    val want = (0 until 6).map { fr =>
+      val r = ((5L * 31 + fr * 97) % 256).toInt
+      val g = ((5L * 57 + fr * 13) % 256).toInt
+      val b = ((5L * 89 + fr * 41) % 256).toInt
+      val luma = 0.299 * r + 0.587 * g + 0.114 * b
+      var sum = 0.0
+      (0 until 64).foreach(_ => sum += luma)
+      (sum / (64 * 255.0)).toFloat
+    }
+    assert(f.feature.slice(0, 6).toSeq == want, s"${f.feature.toSeq} != $want")
+    assert(f.feature(6) == -1.0f && f.feature(7) == -1.0f) // no-frame slots, not black
+    // >8 frames: 8 evenly-sampled slots, idx = s*n/8
+    val g10 = Multimodal.decodeGif(Multimodal.MediaRow(6L, "video",
+      Multimodal.syntheticGif(6L, frames = 10), "test://gif10"))
+    assert(g10.duration_ms == 1000 && g10.feature.forall(_ >= 0.0f))
+    // non-GIF bytes fall back to the stub (never throw)
+    val stub = Multimodal.decodeGif(Multimodal.MediaRow(9L, "video", Array[Byte](1, 2, 3), "t"))
+    assert(stub.duration_ms > 0 && stub.width > 0)
+  }
 }
