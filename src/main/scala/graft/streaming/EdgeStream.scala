@@ -14,14 +14,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   *  - the per-language reference explode is stateless, so the exact
   *    batch projection/generator is reused verbatim;
   *  - resolution is a STREAM-STATIC join against a broadcast module
-  *    dimension snapshot (unbounded-state stream-stream joins are never
-  *    needed: module definitions change slowly and a snapshot refresh is
-  *    a restart with the same checkpoint);
+  *    dimension snapshot (module definitions change slowly and a snapshot
+  *    refresh is a restart with the same checkpoint); stream-STREAM
+  *    correlation exists only in the interval-bounded form
+  *    (`edgeScoreJoin`), where both watermarks give the engine a state
+  *    eviction horizon;
   *  - event-time analytics use watermarked windowed aggregation (late
   *    rows beyond the watermark are dropped deterministically);
   *  - running per-source totals keep custom state via
   *    mapGroupsWithState — O(#distinct sources) state, each group a
-  *    single long.
+  *    single long; gap-based sessions use flatMapGroupsWithState with
+  *    event-time timeouts (`sourceSessions`).
   *
   * Every operator here is checkpointable through the engine's normal
   * `writeStream.option("checkpointLocation", ...)` path; resume
@@ -29,6 +32,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * batch engine's Supersteps commits.
   */
 object EdgeStream {
+
+  /** A resolved edge with its arrival event time — the input contract of
+    * the event-time operators (interval join, sessionization).
+    */
+  final case class TimedEdge(src: Long, dst: Long, ts: java.sql.Timestamp)
+
+  /** A closed per-source activity session (gap-based). */
+  final case class SourceSession(
+      src: Long, start: java.sql.Timestamp, end: java.sql.Timestamp, n: Long)
 
   /** Unresolved (src, ref_module) reference stream — stateless. */
   def references(corpusStream: DataFrame): DataFrame =
@@ -74,6 +86,91 @@ object EdgeStream {
     withTime
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream INTERVAL join: pair each resolved edge
+    * with the destination's score events arriving within `bound` of the
+    * edge's own event time. Both sides carry watermarks and the join
+    * condition bounds event-time distance in BOTH directions, so the
+    * engine can compute a state-eviction horizon — buffered state stays
+    * bounded by (rate × (lateness + bound)), never by stream length
+    * (the 100 TB answer; an unconstrained stream-stream join buffers
+    * forever). Inner join: an edge with no score event inside the bound
+    * is dropped — the batch-side join remains the all-time answer.
+    *
+    * edges: (src, dst, ts); scores: (score_dst, score, score_ts).
+    */
+  def edgeScoreJoin(
+      edges: DataFrame,
+      scores: DataFrame,
+      lateness: String = "10 minutes",
+      bound: String = "5 minutes"
+  ): DataFrame = {
+    val e = edges.withWatermark("ts", lateness)
+    val s = scores.withWatermark("score_ts", lateness)
+    e.join(s,
+      col("dst") === col("score_dst") &&
+        col("score_ts") >= col("ts") - expr(s"INTERVAL $bound") &&
+        col("score_ts") <= col("ts") + expr(s"INTERVAL $bound"))
+      .select(col("src"), col("dst"), col("ts"), col("score"), col("score_ts"))
+  }
+
+  /** Gap-based per-source sessionization via flatMapGroupsWithState —
+    * the custom-state shape mapGroupsWithState can't express (a closing
+    * session and a fresh one must BOTH leave the same invocation, so the
+    * output is an iterator). A session is a maximal run of a source's
+    * edges with consecutive gaps <= `gapMs` of EVENT time; a session
+    * closes either when a later in-gap-violating event for the same key
+    * arrives, or when the watermark passes end+gap (event-time timeout).
+    * State per key is one (start, end, n) triple — bounded by the
+    * distinct ACTIVE key count, because closed sessions leave the store.
+    * Late rows older than the watermark `lateness` are dropped before
+    * grouping (deterministic, same rule as the windowed aggregates).
+    */
+  def sourceSessions(
+      edges: Dataset[TimedEdge],
+      gapMs: Long = 600000L,
+      lateness: String = "10 minutes"
+  ): Dataset[SourceSession] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    edges
+      .withWatermark("ts", lateness)
+      .groupByKey(_.src)
+      .flatMapGroupsWithState[(Long, Long, Long), SourceSession](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (src: Long, rows: Iterator[TimedEdge], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n) = state.get
+            state.remove()
+            Iterator.single(SourceSession(src, t(start), t(end), n))
+          } else {
+            // within one micro-batch a key's rows are not ordered — order
+            // by event time before folding into sessions
+            val times = rows.map(_.ts.getTime).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[SourceSession]
+            var acc = state.getOption
+            times.foreach { tm =>
+              acc match {
+                case Some((start, end, n)) if tm - end <= gapMs =>
+                  acc = Some((start, math.max(end, tm), n + 1))
+                case Some((start, end, n)) =>
+                  out += SourceSession(src, t(start), t(end), n)
+                  acc = Some((tm, tm, 1L))
+                case None =>
+                  acc = Some((tm, tm, 1L))
+              }
+            }
+            acc.foreach { case a @ (_, end, _) =>
+              state.update(a)
+              // the timeout must sit strictly past the current watermark
+              state.setTimeoutTimestamp(math.max(end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** Cumulative out-degree per source across batches — explicit keyed
     * state via mapGroupsWithState (update output mode). State is one long

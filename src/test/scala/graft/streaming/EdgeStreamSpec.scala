@@ -14,6 +14,9 @@ case class FileEvent(file_id: Long, path: String, lang: String, content: String,
 /** A resolved edge with its arrival event time. */
 case class EdgeEvent(src: Long, dst: Long, ts: java.sql.Timestamp)
 
+/** A per-destination score event (the other side of the interval join). */
+case class ScoreEvent(score_dst: Long, score: Double, score_ts: java.sql.Timestamp)
+
 class EdgeStreamSpec extends SparkSpec {
   import spark.implicits._
 
@@ -178,6 +181,64 @@ class EdgeStreamSpec extends SparkSpec {
         .map(e => (e._1, e._2)).toSeq
       assert(keys.count(_ == (1L, 100L)) == 2,
         s"expected the post-horizon repeat to be re-kept: $keys")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: scores pair with edges only inside the event-time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val eMem = MemoryStream[EdgeEvent]
+    val sMem = MemoryStream[ScoreEvent]
+    val q = EdgeStream.edgeScoreJoin(
+      eMem.toDF(), sMem.toDF(), lateness = "10 minutes", bound = "5 minutes")
+      .writeStream.format("memory").queryName("es_ssjoin").outputMode("append").start()
+    try {
+      eMem.addData(EdgeEvent(1L, 100L, tsAt(10)))
+      sMem.addData(
+        ScoreEvent(100L, 0.9, tsAt(12)), // same key, within 5 min -> joins
+        ScoreEvent(100L, 0.1, tsAt(30)), // same key, outside the bound -> dropped
+        ScoreEvent(200L, 0.5, tsAt(11))) // different key -> dropped
+      q.processAllAvailable()
+      val got = spark.table("es_ssjoin").select(col("src"), col("dst"), col("score"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 100L, 0.9)), s"got $got")
+      // a later edge joins a previously-buffered score still inside the bound
+      eMem.addData(EdgeEvent(2L, 100L, tsAt(33)))
+      q.processAllAvailable()
+      val got2 = spark.table("es_ssjoin").select(col("src"), col("dst"), col("score"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got2 == Set((1L, 100L, 0.9), (2L, 100L, 0.1)), s"got $got2")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization: gap closes a session in-line; the watermark flushes the open one") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EdgeStream.TimedEdge]
+    val q = EdgeStream.sourceSessions(mem.toDS(), gapMs = 5 * 60000L, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("es_sessions").outputMode("append").start()
+    try {
+      def rows = spark.table("es_sessions")
+        .select(col("src"), col("start").cast("string"), col("end").cast("string"), col("n"))
+        .as[(Long, String, String, Long)].collect().toSet
+      // session A for source 1: three events with <=5 min gaps
+      mem.addData(
+        EdgeStream.TimedEdge(1L, 10L, tsAt(0)),
+        EdgeStream.TimedEdge(1L, 11L, tsAt(2)),
+        EdgeStream.TimedEdge(1L, 12L, tsAt(4)))
+      q.processAllAvailable()
+      assert(rows.isEmpty, s"session must stay open until the gap breaks: $rows")
+      // a 26-minute gap closes session A in the same invocation that opens B
+      mem.addData(EdgeStream.TimedEdge(1L, 13L, tsAt(30)))
+      q.processAllAvailable()
+      assert(rows == Set((1L, "2026-01-01 10:00:00", "2026-01-01 10:04:00", 3L)), s"got $rows")
+      // another key's far-future events push the watermark past B.end+gap;
+      // the event-time timeout flushes B without any more key-1 data
+      mem.addData(EdgeStream.TimedEdge(2L, 10L, tsAt(59)))
+      q.processAllAvailable()
+      mem.addData(EdgeStream.TimedEdge(2L, 11L, tsAt(59)))
+      q.processAllAvailable()
+      assert(rows.contains((1L, "2026-01-01 10:30:00", "2026-01-01 10:30:00", 1L)), s"got $rows")
+      // source 2's own session is still open (nothing past its end+gap)
+      assert(!rows.exists(_._1 == 2L), s"got $rows")
     } finally q.stop()
   }
 }
