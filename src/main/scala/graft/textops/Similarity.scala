@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * Two paths:
   *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline;
   *    query set joined against the full corpus (queries are broadcast
-  *    when small), dot products via `zip_with`+`aggregate` (codegen'd
-  *    higher-order functions, no UDF);
+  *    when small), dot products via the native codegen'd
+  *    `functions.DotProduct` expression (norms precomputed per vector);
   *  - `lshTopK`: random-hyperplane LSH — the scale path: sign-bit
   *    signatures bucket the corpus, candidates come from an equi join on
   *    (table, bucket), then exact cosine re-ranks. Hyperplanes are
@@ -22,10 +22,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** cosine(a, b) over two array<float|double> columns, NaN-safe 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
+  def cosine(a: Column, b: Column): Column =
+    cosinePrenormed(a, b, vecNorm(a), vecNorm(b))
+
+  /** ||a||_2 — sqrt of the codegen'd left-to-right self dot (identical
+    * doubles to the old `aggregate(transform(a, x*x))` fold). */
+  def vecNorm(a: Column): Column = sqrt(graft.functions.VectorOps.dot(a, a))
+
+  /** cosine from PRECOMPUTED norms — bit-identical to `cosine` (the same
+    * folds over the same doubles), but lets the hot paths evaluate each
+    * norm once per VECTOR instead of once per PAIR: higher-order
+    * functions are CodegenFallback (interpreted lambdas), so dropping
+    * two of the three per-pair folds is the dominant re-rank win.
+    */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val dot = graft.functions.VectorOps.dot(a, b)
     when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
@@ -44,13 +55,16 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val q = queries.select(col("query_id"), col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_norm", vecNorm(col("q_emb")))
     val scored = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("c_emb"))
+      .withColumn("c_norm", vecNorm(col("c_emb")))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
-        cosine(col("q_emb").cast("array<double>"), col("embedding").cast("array<double>")).as("cosine")
+        cosinePrenormed(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cosine")
       )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -89,9 +103,8 @@ object Similarity {
     // into slower interpreted lambdas) — the shared literal + per-plane
     // dot is the measured optimum, and the bucket value is unchanged.
     val sigBits = (0 until numPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(col("embedding").cast("array<double>"), element_at(planesCol, p + 1), (x, y) => x * y),
-        lit(0.0d), (acc, v) => acc + v)
+      val dot = graft.functions.VectorOps.dot(
+        col("embedding").cast("array<double>"), element_at(planesCol, p + 1))
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     df.withColumn("bucket", sigBits.reduce(_ + _))
@@ -123,13 +136,17 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    val cEmb = corpus.select(col(corpus.columns.head).as("vec_id"), col("embedding").as("c_emb"))
-    val qEmb = queries.select(col(queries.columns.head).as("query_id"), col("embedding").as("q_emb"))
+    val cEmb = corpus.select(col(corpus.columns.head).as("vec_id"),
+      col("embedding").cast("array<double>").as("c_emb"))
+      .withColumn("c_norm", vecNorm(col("c_emb")))
+    val qEmb = queries.select(col(queries.columns.head).as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_norm", vecNorm(col("q_emb")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     cand
       .join(cEmb, "vec_id").join(qEmb, "query_id")
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb").cast("array<double>"), col("c_emb").cast("array<double>")).as("cosine"))
+        cosinePrenormed(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -211,27 +228,29 @@ object Similarity {
     def cellStructs(unit: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
       val cl = array(c.map(lit): _*)
       val c2 = c.map(x => x * x).sum
-      val dot = aggregate(zip_with(unit, cl, (x, y) => x * y), lit(0.0d), (a, v) => a + v)
+      val dot = graft.functions.VectorOps.dot(unit, cl)
       struct((lit(c2) - lit(2.0) * dot).as("d"), lit(i).as("cell"))
     }: _*)
 
     // full-corpus assignment: codegen'd argmin over the broadcast centroids
     val assigned = corpus
-      .select(col("vec_id"), col("embedding").as("c_emb"),
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("c_emb"),
         array_min(cellStructs(unitCol(col("embedding")))).getField("cell").as("cell"))
+      .withColumn("c_norm", vecNorm(col("c_emb")))
 
     // query -> its nprobe nearest cells by the same metric; array_sort on
     // (d, cell) structs replaces a Window shuffle in the probe step
     val qcells = queries
-      .select(col("query_id"), col("embedding").as("q_emb"),
+      .select(col("query_id"), col("embedding").cast("array<double>").as("q_emb"),
         explode(slice(array_sort(cellStructs(unitCol(col("embedding")))), 1, nprobe)).as("probe"))
-      .select(col("query_id"), col("q_emb"), col("probe").getField("cell").as("cell"))
+      .select(col("query_id"), col("q_emb"), vecNorm(col("q_emb")).as("q_norm"),
+        col("probe").getField("cell").as("cell"))
 
     val wk = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     assigned.join(qcells, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb").cast("array<double>"), col("c_emb").cast("array<double>")).as("cosine"))
+        cosinePrenormed(col("q_emb"), col("c_emb"), col("q_norm"), col("c_norm")).as("cosine"))
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
   }
@@ -258,12 +277,14 @@ object Similarity {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val emb = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("norm", vecNorm(col("e")))
     pairs
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .join(emb.select(col("vec_id").as("a"), col("e").as("ea"), col("norm").as("na")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("e").as("eb"), col("norm").as("nb")), "b")
       .select(col("a"), col("b"),
-        cosine(col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("cosine"))
+        cosinePrenormed(col("ea"), col("eb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

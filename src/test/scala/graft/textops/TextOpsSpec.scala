@@ -286,6 +286,71 @@ class TextOpsSpec extends SparkSpec {
     assert(stub.duration_ms > 0 && stub.width == -1)
   }
 
+  test("multimodal: WAV decode handles 8/24/32-bit PCM and float32 at full scale") {
+    // one full-scale constant per format: RMS must read 1.0 in every window
+    def wav(fmt: Int, bits: Int, body: java.nio.ByteBuffer => Unit, frames: Int): Array[Byte] = {
+      val dataLen = frames * bits / 8
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(1).putInt(8000)
+        .putInt(8000 * bits / 8).putShort((bits / 8).toShort).putShort(bits.toShort)
+      buf.put("data".getBytes).putInt(dataLen)
+      body(buf)
+      buf.array()
+    }
+    val n = 80
+    val cases = Seq(
+      // 8-bit unsigned: 0 -> (0-128)/128 = -1.0
+      "u8" -> wav(1, 8, b => (0 until n).foreach(_ => b.put(0.toByte)), n),
+      // 24-bit signed: -2^23 -> -1.0 (LE bytes 00 00 80)
+      "s24" -> wav(1, 24, b => (0 until n).foreach { _ =>
+        b.put(0.toByte); b.put(0.toByte); b.put(0x80.toByte) }, n),
+      // 32-bit signed: Int.MinValue -> -1.0
+      "s32" -> wav(1, 32, b => (0 until n).foreach(_ => b.putInt(Int.MinValue)), n),
+      // float32: literal -1.0f
+      "f32" -> wav(3, 32, b => (0 until n).foreach(_ => b.putFloat(-1.0f)), n))
+    cases.foreach { case (name, bytes) =>
+      val f = Multimodal.decodeWav(Multimodal.MediaRow(1L, "audio", bytes, s"t://$name"))
+      assert(f.duration_ms == 10, s"$name duration=${f.duration_ms}")
+      assert(f.feature.forall(v => math.abs(v - 1.0f) < 1e-6f), s"$name rms=${f.feature.toSeq}")
+    }
+    // unsupported compressed format code (e.g. 85 = MP3) falls to the stub
+    val mp3ish = wav(85, 16, b => (0 until n).foreach(_ => b.putShort(0)), n)
+    val fb = Multimodal.decodeWav(Multimodal.MediaRow(2L, "audio", mp3ish, "t://mp3"))
+    assert(fb.width == -1 && fb.duration_ms > 0 && fb.feature.length == 8)
+  }
+
+  test("DotProduct: fold-identical values, null/mismatch semantics, codegen'd (no fallback)") {
+    import graft.functions.VectorOps
+    // go through parquet so the plan under test is a real scan+project
+    // (a local Seq folds into LocalTableScan with no codegen stage)
+    val dir = java.nio.file.Files.createTempDirectory("vec_dot").toString
+    Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(0.1, -0.2), Seq(0.3, 0.7)),
+      (3L, Seq.empty[Double], Seq.empty[Double])
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val d = spark.read.parquet(dir)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = d.select(col("id"), VectorOps.dot(col("a"), col("b")).as("dot"))
+      // whole-stage span present — the expression must not be CodegenFallback
+      assert(out.queryExecution.executedPlan.toString.contains("*("), "no whole-stage span")
+      val got = out.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      // left-to-right fold identity, same as the old aggregate(zip_with(...)) form
+      assert(got(1L) == ((0.0 + 1.0 * 4.0) + 2.0 * 5.0) + 3.0 * 6.0)
+      assert(got(2L) == (0.0 + 0.1 * 0.3) + -0.2 * 0.7)
+      assert(got(3L) == 0.0)
+      // interpreted eval path (no codegen for a literal-only Project on one row) agrees
+      val mism = d.filter(col("id") === 1L)
+        .select(VectorOps.dot(col("a"), slice(col("b"), 1, 2)).as("dot")).collect()
+      assert(mism.head.isNullAt(0), "mismatched lengths must yield null")
+      val withNull = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)))).toDF("a", "b")
+        .select(VectorOps.dot(col("a"), col("b")).as("dot")).collect()
+      assert(withNull.head.isNullAt(0), "a null element must yield null")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("multimodal: REAL animated-GIF decode — frame count, metadata delays, exact palette colors") {
     val gif = Multimodal.syntheticGif(5L, frames = 6, w = 8, h = 8, cs = 12)
     val f = Multimodal.decodeGif(Multimodal.MediaRow(5L, "video", gif, "test://gif"))
