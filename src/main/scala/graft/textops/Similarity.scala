@@ -221,7 +221,7 @@ object Similarity {
       val d = emb.cast("array<double>")
       if (!normalize) d
       else {
-        val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0d), (a, v) => a + v))
+        val n = vecNorm(d)
         when(n === 0, d).otherwise(transform(d, x => x / n))
       }
     }
