@@ -285,7 +285,18 @@ object Bench {
     // reserved for the north-run fallback only.
     val ladder = Seq(1.0, 0.25)
     val calib0 = calibrate()
-    var rung: Double = sys.env.get("SPARK_GRAFT_PROBE_SCALE").map(_.toDouble).getOrElse {
+    var rung: Double = sys.env.get("SPARK_GRAFT_PROBE_SCALE").map { v =>
+      // fail FAST on a rung with no materialized subset (a typo would
+      // otherwise crash mid-run in rungPath), and refuse the sixteenth as
+      // a GATE rung up front: it reads ~0.64 structurally (see ladder
+      // note), so a run forced onto it would end with efficiency:null
+      // after spending the whole leg budget.
+      val d = v.toDouble
+      require(ladder.contains(d),
+        s"SPARK_GRAFT_PROBE_SCALE=$v: gate rungs are ${ladder.mkString("/")} " +
+          "(0.0625 exists only as the north-run fallback, never gate evidence)")
+      d
+    }.getOrElse {
       if (calib0 > 2.5 * calibIdle) 0.25 else 1.0
     }
     if (rung < 1.0)
@@ -312,13 +323,13 @@ object Bench {
     // eats the budget; dying at the cap steps the ladder down, so the
     // NEXT window is cheap enough to survive the same regime).
     val legCap = sys.env.getOrElse("SPARK_GRAFT_LEG_CAP", "480").toDouble
-    def runWindow(c: Int, allowRetry: Boolean = true): Unit = {
+    def runWindow(c: Int, allowRetry: Boolean = true, atRung: Option[Double] = None): Unit = {
       val calib = calibrate()
       val avoid = windows.filter(_.cores == c).flatMap(_.cpus).toSet
       val picked = pickCpus(c, avoid)
+      val myRung = atRung.getOrElse(rung)
       val cap = math.min(math.min(legCap, math.max(90.0, remaining - 60.0)),
-        math.max(90.0, wallEst(rung, c) * 6.0))
-      val myRung = rung
+        math.max(90.0, wallEst(myRung, c) * 6.0))
       forkLeg(c, picked, rungPath(myRung), probeIters, scaleParts, maxSec = cap) match {
         case LegOk(leg, iso) =>
           windows += Window(c, picked, leg, iso, calib, myRung)
@@ -359,7 +370,10 @@ object Bench {
       Seq(coresSmall, coresLarge).foreach { c =>
         if (spreadOf(legWindows(c)) > 0.25) {
           contended = true
-          if (canRerun(c)) runWindow(c)
+          // the extra window must land in the GATE sample it is meant to
+          // clean up — at the gate rung, not the (possibly stepped-down)
+          // current one, or min-selection filters it straight out
+          if (canRerun(c)) runWindow(c, allowRetry = false, atRung = gateRung)
         }
       }
       (contended, calibDrift)

@@ -73,14 +73,19 @@ object SparkEntry {
       val lock = ch.lock() // blocks peer JVMs
       try {
         if (!published) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          // a dest WITHOUT _SUCCESS is a half-written leftover (e.g. a
+          // writer killed mid-publish): clear it under the lock, or the
+          // rename below fails on every future cold call — a permanently
+          // poisoned cache entry
+          if (dest.exists()) rm(dest)
           val tmp = new java.io.File(cacheRoot, s"$key.tmp-${java.util.UUID.randomUUID()}")
           derive.write.mode("overwrite").parquet(tmp.getPath)
           if (!tmp.renameTo(dest)) {
-            // lost a race despite the lock (or stale leftover): keep the
-            // winner, drop our build; fail loudly if neither exists
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-            }
+            // lost a race despite the lock: keep the winner, drop our
+            // build; fail loudly if neither exists
             rm(tmp)
             require(published, s"part-edges cache publish failed for $dest")
           }

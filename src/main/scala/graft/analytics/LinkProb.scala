@@ -81,8 +81,12 @@ object LinkProb {
     * are bit-identical to TreeEnsemble.predictCol.
     */
   def scoreTree(features: DataFrame, model: TreeEnsemble.Model): DataFrame =
+    // bind by the MODEL's own feature list: node feature indexes are
+    // positions in the training order, so a model trained on a subset or
+    // permutation of ModelFeatures would silently test the wrong columns
+    // if this bound a fixed list
     features.withColumn("proba",
-      graft.functions.TreeEnsembleScore.score(model, ModelFeatures.map(f => imputed(col(f)))))
+      graft.functions.TreeEnsembleScore.score(model, model.features.map(f => imputed(col(f)))))
 
   /** The `edge_proba` product (compute_link_prob.py:29-31): key columns +
     * proba only.

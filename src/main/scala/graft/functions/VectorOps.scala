@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -29,6 +30,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
+
+  // ArrayData.getDouble on a non-double array silently reinterprets the
+  // element bytes — reject anything but array<double> at ANALYSIS time
+  // instead of returning garbage (the Column API below casts for
+  // convenience, so float embeddings still just work).
+  override def checkInputDataTypes(): TypeCheckResult = Seq(left, right).zipWithIndex.collectFirst {
+    case (e, i) if !e.dataType.isInstanceOf[ArrayType] ||
+        e.dataType.asInstanceOf[ArrayType].elementType != DoubleType =>
+      TypeCheckResult.TypeCheckFailure(
+        s"argument ${i + 1} of $prettyName requires array<double>, got ${e.dataType.simpleString}")
+  }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -70,7 +82,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object VectorOps {
-  /** Column API: dot(a, b) over two array<double> columns. */
+  /** Column API: dot(a, b). Inputs are cast to array<double> for
+    * convenience (SimplifyCasts removes the no-op when already double;
+    * float embeddings widen losslessly) — the raw Expression itself
+    * rejects non-double arrays at analysis time.
+    */
   def dot(a: Column, b: Column): Column =
-    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
 }

@@ -146,28 +146,27 @@ object EdgeStream {
             state.remove()
             Iterator.single(SourceSession(src, t(start), t(end), n))
           } else {
-            // within one micro-batch a key's rows are not ordered — order
-            // by event time before folding into sessions
-            val times = rows.map(_.ts.getTime).toArray.sorted
-            val out = scala.collection.mutable.ArrayBuffer.empty[SourceSession]
-            var acc = state.getOption
-            times.foreach { tm =>
-              acc match {
-                case Some((start, end, n)) if tm - end <= gapMs =>
-                  acc = Some((start, math.max(end, tm), n + 1))
-                case Some((start, end, n)) =>
-                  out += SourceSession(src, t(start), t(end), n)
-                  acc = Some((tm, tm, 1L))
-                case None =>
-                  acc = Some((tm, tm, 1L))
-              }
-            }
-            acc.foreach { case a @ (_, end, _) =>
-              state.update(a)
-              // the timeout must sit strictly past the current watermark
-              state.setTimeoutTimestamp(math.max(end + gapMs, state.getCurrentWatermarkMs + 1))
-            }
-            out.iterator
+            // Rows are unordered within a micro-batch, and an event
+            // admitted by the watermark may even precede the open
+            // session's start (out-of-order arrival across batches). So:
+            // sort (start, start, 1) singletons together with the open
+            // state session by start and coalesce any neighbors within
+            // `gapMs` — an order-insensitive fold (a naive "tm - end <=
+            // gap" absorbs any BACKWARD event, however far before the
+            // session). Everything but the latest session closes now; an
+            // extreme straggler for an already-closed session starts a
+            // new one rather than reopening it (closure is final).
+            val pieces = state.getOption.toSeq ++ rows.map(r => (r.ts.getTime, r.ts.getTime, 1L))
+            val merged = pieces.sortBy(_._1).foldLeft(List.empty[(Long, Long, Long)]) {
+              case (h :: rest, s) if s._1 <= h._2 + gapMs =>
+                (h._1, math.max(h._2, s._2), h._3 + s._3) :: rest
+              case (acc, s) => s :: acc
+            }.reverse
+            val open = merged.last
+            state.update(open)
+            // the timeout must sit strictly past the current watermark
+            state.setTimeoutTimestamp(math.max(open._2 + gapMs, state.getCurrentWatermarkMs + 1))
+            merged.init.iterator.map { case (s0, e0, n0) => SourceSession(src, t(s0), t(e0), n0) }
           }
       }
   }

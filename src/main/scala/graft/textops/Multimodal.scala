@@ -138,10 +138,16 @@ object Multimodal {
     * `decodeStub` — the remaining declared seam: the JVM ships no
     * compressed-audio codecs.
     */
-  def decodeWav(row: MediaRow): MediaFeatures = {
+  def decodeWav(row: MediaRow): MediaFeatures =
+    // poison-safe like the other decoders: a malformed RIFF (lying chunk
+    // sizes, truncated fmt/data) must fall back to the stub, never fail
+    // the task
+    try decodeWavUnsafe(row) catch { case _: Exception => decodeStub(row) }
+
+  private def decodeWavUnsafe(row: MediaRow): MediaFeatures = {
     val b = row.media
     def ascii(off: Int, s: String): Boolean =
-      b.length >= off + 4 && (0 until 4).forall(i => b(off + i) == s.charAt(i).toByte)
+      off >= 0 && b.length >= off + 4 && (0 until 4).forall(i => b(off + i) == s.charAt(i).toByte)
     if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return decodeStub(row)
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     // chunk walk: find "fmt " and "data"
@@ -149,12 +155,12 @@ object Multimodal {
     var fmtOff = -1; var dataOff = -1; var dataLen = 0
     while (off + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
       val size = bb.getInt(off + 4)
-      if (size < 0) return decodeStub(row)
+      if (size < 0 || size > b.length) return decodeStub(row) // lying size would overflow off
       if (ascii(off, "fmt ")) fmtOff = off + 8
       else if (ascii(off, "data")) { dataOff = off + 8; dataLen = math.min(size, b.length - dataOff) }
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
-    if (fmtOff < 0 || dataOff < 0) return decodeStub(row)
+    if (fmtOff < 0 || fmtOff + 16 > b.length || dataOff < 0) return decodeStub(row)
     val fmt = bb.getShort(fmtOff) & 0xffff
     val channels = math.max(1, bb.getShort(fmtOff + 2) & 0xffff)
     val sampleRate = bb.getInt(fmtOff + 4)
@@ -301,12 +307,17 @@ object Multimodal {
     val b = row.media
     val isGif = b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
     if (!isGif) return decodeStub(row)
+    imageIoReady
+    // close the stream and dispose the reader on EVERY exit path — a
+    // partition of short/poison rows must not accumulate reader
+    // instances and cache buffers
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
     try {
-      imageIoReady
-      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
+      iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(b))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return decodeStub(row)
-      val reader = readers.next()
+      reader = readers.next()
       reader.setInput(iis, false, false) // need metadata for delays
       val n = reader.getNumImages(true)
       if (n <= 0) return decodeStub(row)
@@ -354,12 +365,15 @@ object Multimodal {
         feat(s) = (sum / (cnt * 255.0)).toFloat
         s += 1
       }
-      reader.dispose()
       decodeStub(row).copy(
         width = w, height = h,
         duration_ms = durationCs * 10L,
         feature = feat)
-    } catch { case _: Throwable => decodeStub(row) }
+    } catch { case _: Exception => decodeStub(row) }
+    finally {
+      if (reader != null) try reader.dispose() catch { case _: Exception => () }
+      if (iis != null) try iis.close() catch { case _: Exception => () }
+    }
   }
 
   /** REAL image decode via the JDK's pure-Java ImageIO readers (PNG, BMP,

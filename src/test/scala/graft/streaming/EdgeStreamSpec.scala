@@ -241,4 +241,32 @@ class EdgeStreamSpec extends SparkSpec {
       assert(!rows.exists(_._1 == 2L), s"got $rows")
     } finally q.stop()
   }
+
+  test("sessionization is order-insensitive: backward in-gap events extend start; far-backward events form their own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EdgeStream.TimedEdge]
+    // generous lateness so out-of-order arrivals are admitted
+    val q = EdgeStream.sourceSessions(mem.toDS(), gapMs = 5 * 60000L, lateness = "30 minutes")
+      .writeStream.format("memory").queryName("es_sess_ooo").outputMode("append").start()
+    try {
+      def rows = spark.table("es_sess_ooo")
+        .select(col("src"), col("start").cast("string"), col("end").cast("string"), col("n"))
+        .as[(Long, String, String, Long)].collect().toSet
+      mem.addData(EdgeStream.TimedEdge(1L, 10L, tsAt(20)))
+      q.processAllAvailable()
+      // a later batch delivers an IN-GAP event 2 min BEFORE the open start:
+      // it must extend the session backward, not inflate n at the old start
+      mem.addData(EdgeStream.TimedEdge(1L, 11L, tsAt(18)))
+      q.processAllAvailable()
+      // ...and a far-backward straggler (>gap before start) must close as
+      // its own one-event session, leaving the open session untouched
+      mem.addData(EdgeStream.TimedEdge(1L, 12L, tsAt(2)))
+      q.processAllAvailable()
+      assert(rows == Set((1L, "2026-01-01 10:02:00", "2026-01-01 10:02:00", 1L)), s"got $rows")
+      // close the open session via the gap rule and check its extended start
+      mem.addData(EdgeStream.TimedEdge(1L, 13L, tsAt(45)))
+      q.processAllAvailable()
+      assert(rows.contains((1L, "2026-01-01 10:18:00", "2026-01-01 10:20:00", 2L)), s"got $rows")
+    } finally q.stop()
+  }
 }
