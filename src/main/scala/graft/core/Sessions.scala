@@ -37,6 +37,10 @@ object Sessions {
       .orElse(sys.props.get("spark.graft.shuffle.parts"))
       .map(_.toInt).getOrElse(cores)
     val spark = builder
+      // the engine's Catalyst extension (declarative-idiom rewrites, see
+      // plans.GraftExtensions) — registered by conf, the same shape a
+      // production spark-submit would use
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
