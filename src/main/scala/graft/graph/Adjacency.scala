@@ -52,7 +52,7 @@ object Adjacency {
     implicit val enc = Encoders.product[CsrBlock]
     implicit val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong)
     val P = numParts
-    edges.toDF
+    edges.toDF()
       .select(pmod(col("src"), lit(P.toLong)).cast("int").as("partId"), col("src"), col("dst"))
       // rows with equal pid(src) land in ONE Spark partition (a Spark
       // partition may hold several pids — Spark re-hashes the expression
@@ -91,9 +91,9 @@ object Adjacency {
   def vertices(edges: Dataset[Edge]): Dataset[Vertex] = {
     val spark = edges.sparkSession
     implicit val enc = Encoders.product[Vertex]
-    val verts = edges.toDF.select(col("src").as("id"))
-      .union(edges.toDF.select(col("dst").as("id"))).distinct()
-    val outdeg = edges.toDF.groupBy(col("src").as("id")).agg(count(lit(1)).cast("int").as("outdeg"))
+    val verts = edges.toDF().select(col("src").as("id"))
+      .union(edges.toDF().select(col("dst").as("id"))).distinct()
+    val outdeg = edges.toDF().groupBy(col("src").as("id")).agg(count(lit(1)).cast("int").as("outdeg"))
     verts.join(outdeg, Seq("id"), "left")
       .na.fill(0, Seq("outdeg"))
       .select(col("id"), col("outdeg"))
@@ -102,7 +102,7 @@ object Adjacency {
 
   /** (max, avg) in-degree — skew diagnostics for choosing salt factors. */
   def degreeStats(edges: Dataset[Edge]): (Long, Double) = {
-    val r = edges.toDF.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    val r = edges.toDF().groupBy(col("dst")).agg(count(lit(1)).as("d"))
       .agg(max("d"), avg("d")).first()
     (r.getLong(0), r.getDouble(1))
   }

@@ -66,7 +66,7 @@ object ConnectedComponents {
     */
   def run(edges: Dataset[Edge], maxRounds: Int = 50,
           checkpoint: CheckpointPolicy = LocalOnly()): CcResult = {
-    val e0 = edges.toDF
+    val e0 = edges.toDF()
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
@@ -99,9 +99,9 @@ object ConnectedComponents {
     val callerSpark = edges.sparkSession
     val sessionParts = callerSpark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val allVerts = edges.toDF
+    val allVerts = edges.toDF()
       .select(col("src").as("id"))
-      .union(edges.toDF.select(col("dst").as("id")))
+      .union(edges.toDF().select(col("dst").as("id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nVerts = allVerts.count()

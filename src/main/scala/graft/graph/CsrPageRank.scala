@@ -175,7 +175,7 @@ object CsrPageRank {
     // answer count() from footer statistics; derived ones pay one
     // extra derivation, far cheaper than tens of near-empty-task
     // supersteps on a small graph).
-    val P = IterationConf.sizedPartitions(sessionParts, math.max(edges.toDF.count(), 1L))
+    val P = IterationConf.sizedPartitions(sessionParts, math.max(edges.toDF().count(), 1L))
     // The whole build + loop runs on an isolated cloned session (AQE off,
     // broadcast off, shuffle partitions = P) — the caller's session conf
     // is never mutated, so concurrent queries can't race it.
@@ -186,7 +186,7 @@ object CsrPageRank {
       def tokOf(idCol: Column): Column =
         element_at(lit(toks), pmod(idCol, lit(P.toLong)).cast("int") + lit(1))
 
-      val edf = IterationConf.rebind(edges.toDF, spark) // (src, dst)
+      val edf = IterationConf.rebind(edges.toDF(), spark) // (src, dst)
 
       // --- 1. vertex state: one combined aggregation + one Tungsten
       // shuffle+sort, streamed into primitive per-partition arrays. On

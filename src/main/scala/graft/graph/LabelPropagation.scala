@@ -63,10 +63,10 @@ object LabelPropagation {
     val callerSpark = edges.sparkSession
     val sessionParts = callerSpark.conf.get("spark.sql.shuffle.partitions").toInt
 
-    val bidir0 = edges.toDF
+    val bidir0 = edges.toDF()
       .select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v"))
-      .union(edges.toDF.select(col("dst").as("u"), col("src").as("v")))
+      .union(edges.toDF().select(col("dst").as("u"), col("src").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = bidir0.count()

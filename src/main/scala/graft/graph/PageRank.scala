@@ -108,7 +108,7 @@ object PageRank {
     val spark = edges.sparkSession
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val t0 = System.nanoTime()
-    val e0 = edges.toDF.select(col("src"), col("dst"))
+    val e0 = edges.toDF().select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e0.count()
     val Pr = graft.core.IterationConf.sizedPartitions(sessionParts, math.max(m, 1L))

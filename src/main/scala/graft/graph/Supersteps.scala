@@ -40,7 +40,7 @@ object Supersteps {
     */
   def partitionLineage(df: DataFrame): Seq[(Int, Long, Long)] = {
     val cols = df.columns.map(col)
-    df.select(spark_partition_id().as("pid"), xxhash64(cols: _*).as("h"))
+    df.select(spark_partition_id().as("pid"), xxhash64(cols.toIndexedSeq: _*).as("h"))
       .groupBy("pid")
       .agg(count(lit(1)).as("rows"), expr("bit_xor(h)").as("checksum"))
       .collect()

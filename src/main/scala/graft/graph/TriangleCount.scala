@@ -24,7 +24,7 @@ object TriangleCount {
 
   /** Canonical oriented edge set: (a ≺ b) under (deg, id) order. */
   private def oriented(edges: Dataset[Edge]): DataFrame = {
-    val und = edges.toDF
+    val und = edges.toDF()
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
@@ -66,8 +66,8 @@ object TriangleCount {
   /** Per-vertex triangle counts (vertices in no triangle get 0). */
   def perVertex(edges: Dataset[Edge]): DataFrame = {
     val spark = edges.sparkSession
-    val verts = edges.toDF.select(col("src").as("id"))
-      .union(edges.toDF.select(col("dst").as("id"))).distinct()
+    val verts = edges.toDF().select(col("src").as("id"))
+      .union(edges.toDF().select(col("dst").as("id"))).distinct()
     val t = triangles(edges)
     val exploded = t.select(explode(array(col("a"), col("x"), col("y"))).as("id"))
       .groupBy("id").agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))

@@ -104,7 +104,7 @@ object Corpus {
     * identity once at ingest.
     */
   def stamped(corpus: Dataset[CorpusRow]): DataFrame =
-    corpus.toDF
+    corpus.toDF()
       .withColumn("content_sha", sha2(col("content"), 256))
       .withColumn(
         "file_id",

@@ -165,7 +165,7 @@ object EdgeStream {
             val open = merged.last
             state.update(open)
             // the timeout must sit strictly past the current watermark
-            state.setTimeoutTimestamp(math.max(open._2 + gapMs, state.getCurrentWatermarkMs + 1))
+            state.setTimeoutTimestamp(math.max(open._2 + gapMs, state.getCurrentWatermarkMs() + 1))
             merged.init.iterator.map { case (s0, e0, n0) => SourceSession(src, t(s0), t(e0), n0) }
           }
       }

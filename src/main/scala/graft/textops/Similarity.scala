@@ -225,8 +225,8 @@ object Similarity {
         when(n === 0, d).otherwise(transform(d, x => x / n))
       }
     }
-    def cellStructs(unit: Column): Column = array(centroids.zipWithIndex.map { case (c, i) =>
-      val cl = array(c.map(lit): _*)
+    def cellStructs(unit: Column): Column = array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.toIndexedSeq.map(lit): _*)
       val c2 = c.map(x => x * x).sum
       val dot = graft.functions.VectorOps.dot(unit, cl)
       struct((lit(c2) - lit(2.0) * dot).as("d"), lit(i).as("cell"))

@@ -16,7 +16,7 @@ object ExplainPlan {
       val edges = (0L until 10000L).map(i => (i % 500, (i * 7) % 500)).distinct
         .toDF("src", "dst").as[Edge]
       val P = 8
-      val e = edges.toDF.repartition(P, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      val e = edges.toDF().repartition(P, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
       val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
       val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))

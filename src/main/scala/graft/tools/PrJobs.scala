@@ -23,7 +23,7 @@ object PrJobs {
     IterationConf.withIterationConf(spark) {
       val edges = spark.read.parquet("/tmp/prbench_edges").as[Edge]
       val P = 32
-      val e = edges.toDF.repartition(P, col("src")).sortWithinPartitions("src").persist(StorageLevel.MEMORY_AND_DISK)
+      val e = edges.toDF().repartition(P, col("src")).sortWithinPartitions("src").persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
       val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
       val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
