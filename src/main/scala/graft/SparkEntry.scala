@@ -847,7 +847,16 @@ object SparkEntry {
         col("duration_ms")) ++
         (0 until 8).map(j => round(element_at(col("feature"), j + 1).cast("double"), 6).as(s"f$j"))
       feats.select(outCols: _*)
-    })
+    }),
+    // --- A9 extension: EXACT interpolated percentiles (Spark `percentile` <-> DuckDB `quantile_cont`, the same 1-based
+    //     (n-1)p rank + linear interpolation; round(6) absorbs any last-ULP interpolation-order difference). -----------------------------
+    "q_quantiles" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price")))
   )
 
   /** Shared key-papers universe: orders are papers, lineitems are author
@@ -2045,7 +2054,14 @@ object SparkEntry {
     "q_quality_fp" -> qualityFpOracle,
     "q_near_dup" -> nearDupOracle,
     "q_audio_features" -> audioFeaturesOracle,
-    "q_video_frames" -> videoFramesOracle
+    "q_video_frames" -> videoFramesOracle,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+         round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+         round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+         round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+         FROM lineitem GROUP BY 1"""
   )
 
   /** DuckDB twin of the q_quality_fp pipeline: the quality blend's four
