@@ -29,35 +29,49 @@ object ConnectedComponents {
 
   final case class CcResult(components: DataFrame, rounds: Int) // (id, component)
 
-  /** For each vertex u (over both edge directions), the min of its
-    * neighborhood including itself.
+  /** large-star: connect every strictly-greater neighbor of u to m(u),
+    * the min of u's neighborhood including itself (partial-aggregated
+    * min: hub skew absorbed map-side). The result is deduped AFTER a
+    * repartition by the new key u — hash(u) clusters (u, v), so the
+    * dedup adds no exchange of its own and the output is partitioned
+    * exactly as `smallStarOriented` consumes it.
+    *
+    * Output invariant: every emitted row has v < u (m ≤ old-u < old-v).
     */
-  private def neighborhoodMin(bidir: DataFrame): DataFrame =
-    bidir
-      .groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("m"))
-
-  /** large-star: connect every strictly-greater neighbor of u to m(u). */
-  private def largeStar(bidir: DataFrame): DataFrame = {
-    val m = neighborhoodMin(bidir)
+  private def largeStar(bidir: DataFrame, parts: Int): DataFrame = {
+    val m = bidir.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
     bidir
       .join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
+      .repartition(parts, col("u"))
+      .dropDuplicates()
   }
 
-  /** small-star: for each u, connect all ≤-neighbors and u itself to the
-    * min among them.
+  /** small-star over an ALREADY-ORIENTED frontier — every row v < u,
+    * which is exactly largeStar's output form: for each u, connect its
+    * ≤-neighbors and u itself to the min among them.
+    *
+    * Equivalence with the textbook smallStar(afterLarge ∪ swap): the
+    * swap rows all have v > u, so the ≤-filter keeps precisely the
+    * un-swapped rows — the symmetrized union only doubled the work
+    * (measured r07: each union branch re-ran the whole large-star
+    * subtree because exchange reuse does not fire across the
+    * filter-divergent copies). Taking the oriented frontier directly,
+    * with `le` checkpointed hash(u), the min aggregation and the
+    * re-attach join need NO exchange at all; the single exchange left
+    * is the re-keying dedup, which again doubles as next-round
+    * partitioning.
     */
-  private def smallStar(bidir: DataFrame): DataFrame = {
-    val le = bidir.filter(col("v") < col("u"))
+  private def smallStarOriented(le: DataFrame, parts: Int): DataFrame = {
     val m = le.groupBy(col("u")).agg(min(col("v")).as("m"))
     val reattached = le
       .join(m, "u")
       .select(col("v").as("u"), col("m").as("v"))
     val selfEdge = m.select(col("u"), col("m").as("v"))
-    reattached.union(selfEdge).filter(col("u") =!= col("v")).distinct()
+    reattached.union(selfEdge).filter(col("u") =!= col("v"))
+      .repartition(parts, col("u"))
+      .dropDuplicates()
   }
 
   /** Run to fixpoint. Returns (id, component) for every vertex that
@@ -112,8 +126,16 @@ object ConnectedComponents {
     val e0c = e0.persist(StorageLevel.MEMORY_AND_DISK)
     val m0 = e0c.count()
     // loop shuffles sized to the LOOP data: the round-1 frontier is m0
-    // edges, so size to the larger of vertex and initial-edge count
-    val Pr = graft.core.IterationConf.sizedPartitions(sessionParts, math.max(nVerts, m0))
+    // edges, so size to the larger of vertex and initial-edge count.
+    // CC's early rounds push the FULL bidirectional frontier through
+    // every star exchange, so the per-partition row target is lower than
+    // the library default (65k vs 250k): at sf0.1 the 250k target left
+    // round 1 (2.4M rows) on 5 of 32 cores — measured 2.8 s for that one
+    // round — while the late tiny-frontier rounds still collapse to one
+    // partition either way (the empty-task concern the cap exists for).
+    val ccTargetRows = 65536L
+    val Pr = graft.core.IterationConf.sizedPartitions(
+      sessionParts, math.max(nVerts, m0), ccTargetRows)
     graft.core.IterationConf.withLoopSession(callerSpark, Pr) { spark =>
 
     // Eager localCheckpoint per round: truncates lineage and avoids the
@@ -134,14 +156,17 @@ object ConnectedComponents {
       // loop session is private to this call, so the per-round conf.set
       // races with nothing.
       val PrRound = graft.core.IterationConf.sizedPartitions(
-        sessionParts, math.max(prevSig._1, nVerts))
+        sessionParts, math.max(prevSig._1, nVerts), ccTargetRows)
       spark.conf.set("spark.sql.shuffle.partitions", PrRound.toString)
       val bidirL = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val afterLarge = largeStar(bidirL)
-      val bidirS = afterLarge.union(afterLarge.select(col("v").as("u"), col("u").as("v")))
-      var next = smallStar(bidirS)
-        .repartition(PrRound, col("u"))
+      // Materialize the large-star frontier between the phases: the
+      // small-star phase reads it (and its own two consumers read blocks,
+      // not recomputations), and largeStar's output orientation (v < u)
+      // feeds smallStarOriented directly — no symmetrize-then-refilter.
+      val afterLarge = largeStar(bidirL, PrRound).localCheckpoint(true)
+      var next = smallStarOriented(afterLarge, PrRound)
         .localCheckpoint(true)
+      releaseCheckpoint(afterLarge)
       val sig = signature(next)
       rounds += 1
       stable = sig == prevSig

@@ -70,6 +70,11 @@ object LabelPropagation {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = bidir0.count()
+    // Partition sizing: the library default (250k rows/partition) is the
+    // measured optimum here — r07 tried 65k (Pr 10 -> 32 at sf0.1) and
+    // the extra task launches + 32x32 shuffle blocks cost more than the
+    // added cores returned (9.6 s vs 6.0 s warm), unlike CC whose rounds
+    // are dominated by one large repartition.
     val Pr = graft.core.IterationConf.sizedPartitions(sessionParts, nEdges)
     graft.core.IterationConf.withLoopSession(callerSpark, Pr) { spark =>
     val bidir = graft.core.IterationConf.rebind(bidir0, spark)
@@ -80,18 +85,26 @@ object LabelPropagation {
     verts.count()
     bidir0.unpersist(false)
 
+    // Wide state (id, label, old): the previous label rides in the
+    // checkpoint so the per-iteration `changed` check is a pure scan
+    // instead of a state-to-state join (guide §2.4 — and the old
+    // trailing repartition was a full exchange of the state per
+    // iteration that the left join's preserved hash(id) partitioning
+    // makes redundant).
     var labels = labels0
       .map(graft.core.IterationConf.rebind(_, spark))
       .getOrElse(verts.select(col("id"), col("id").as("label")))
+      .select(col("id"), col("label"), col("label").as("old"))
       .repartition(Pr, col("id"))
       .localCheckpoint(true)
 
     var iter = iter0
     var converged = false
     while (iter < maxIter && !converged) {
+      val lbl = labels.select(col("id"), col("label"))
       // neighbor labels: edge (u <- label(v))
       val votes = bidir
-        .join(labels, bidir("v") === labels("id"))
+        .join(lbl, bidir("v") === lbl("id"))
         .groupBy(col("u"), col("label"))
         .agg(count(lit(1)).as("n"))
       // Per-vertex argmax as an aggregation (count desc, label asc): hub
@@ -106,17 +119,16 @@ object LabelPropagation {
 
       // Eager localCheckpoint per iteration: truncates lineage and avoids
       // the CacheManager invalidate-rebuild trap of persist/unpersist
-      // chains (see PageRank.iterate).
-      val newLabels = labels
+      // chains (see PageRank.iterate). The left join keeps the state's
+      // hash(id) partitioning, so no repartition is needed to preserve
+      // the co-partitioned joins of the next iteration.
+      val newLabels = lbl
         .join(picked, Seq("id"), "left")
-        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
-        .repartition(Pr, col("id"))
+        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"),
+          col("label").as("old"))
         .localCheckpoint(true)
 
-      val changed = newLabels
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .count()
+      val changed = newLabels.filter(col("label") =!= col("old")).count()
       labels.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(false))
@@ -127,9 +139,13 @@ object LabelPropagation {
       checkpoint match {
         case Durable(runDir, every) if iter % every == 0 || converged =>
           val before = labels
-          labels = Supersteps.commit(spark, runDir, iter, labels,
+          // Durable snapshots stay (id, label) — the resume/consumer
+          // contract is unchanged; the wide loop state is rebuilt after
+          // the commit round-trip.
+          labels = Supersteps.commit(spark, runDir, iter, labels.select(col("id"), col("label")),
             Map("iter" -> iter.toDouble, "changed" -> changed.toDouble,
               "converged" -> (if (converged) 1.0 else 0.0)))
+            .select(col("id"), col("label"), col("label").as("old"))
             .repartition(Pr, col("id"))
             .localCheckpoint(true)
           before.queryExecution.analyzed.collectFirst {
@@ -141,7 +157,8 @@ object LabelPropagation {
     // labels is a self-contained checkpointed LogicalRDD: release inputs.
     bidir.unpersist(false)
     verts.unpersist(false)
-    LpaResult(graft.core.IterationConf.rebind(labels, callerSpark), iter, converged)
+    LpaResult(graft.core.IterationConf.rebind(labels.select(col("id"), col("label")), callerSpark),
+      iter, converged)
     }
   }
 }

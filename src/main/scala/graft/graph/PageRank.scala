@@ -119,9 +119,15 @@ object PageRank {
       if (g.n == 0)
         PageRankResult(spark.emptyDataFrame, startIter, converged = true, Nil, 0L, 0L)
       else {
+        // Iteration state is (id, outdeg, rank): outdeg rides in the state
+        // so the loop never joins vdeg again (guide §2.4 — one fewer join
+        // per iteration plan). A resumed narrow snapshot is widened once.
         val ranks0 = state0
-          .map(graft.core.IterationConf.rebind(_, loop))
-          .getOrElse(g.vdeg.select(col("id"), lit(1.0 / g.n).as("rank")))
+          .map(graft.core.IterationConf.rebind(_, loop)
+            .join(g.vdeg, Seq("id"))
+            .select(col("id"), col("outdeg"), col("rank"))
+            .repartition(g.parts, col("id")))
+          .getOrElse(g.vdeg.select(col("id"), col("outdeg"), lit(1.0 / g.n).as("rank")))
         // closed-form initial dangling mass only for the uniform start
         val dangling0 = if (state0.isEmpty) Some(g.danglingCount.toDouble / g.n) else None
         val res = iterate(g, ranks0, startIter, cfg, dangling0)
@@ -185,7 +191,7 @@ object PageRank {
 
   private def iterate(
       g: Prepared,
-      ranks0: DataFrame,
+      ranks0: DataFrame, // (id, outdeg, rank), co-partitioned by id
       startIter: Int,
       cfg: PageRankConfig,
       initialDangling: Option[Double] = None
@@ -195,14 +201,34 @@ object PageRank {
     // touches the caller's session conf.
     val spark = g.e.sparkSession
     val loopT0 = System.nanoTime()
-    var ranks = ranks0.repartition(g.parts, col("id")).localCheckpoint(true)
+    // Wide state (id, outdeg, rank, old): outdeg makes the contribution
+    // join self-sufficient and `old` (previous rank) turns the L1-delta
+    // into a pure scan of the checkpointed state — two joins per
+    // iteration instead of four, which shrinks both the executed plan
+    // and the per-iteration Catalyst planning time that dominates small
+    // rounds (guide §1.2 step 1, §2.4).
+    var ranks = ranks0
+      .select(col("id"), col("outdeg"), col("rank"), col("rank").as("old"))
+      .localCheckpoint(true)
 
-    // Dangling mass of the current state: closed form for the uniform
-    // start; one co-partitioned scalar job otherwise (resume path).
-    var dangling = initialDangling.getOrElse {
-      ranks.join(g.vdeg, Seq("id"))
-        .agg(coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)))
-        .first().getDouble(0)
+    val durable = cfg.checkpoint match { case _: Durable => true; case _ => false }
+    // The delta job exists to decide convergence and to feed durable
+    // metrics. With tol <= 0 and local-only checkpointing the loop runs a
+    // fixed iteration count and the delta is observable nowhere — skip
+    // the per-iteration action entirely.
+    val needStats = cfg.tol > 0 || durable
+
+    // Dangling mass of the CURRENT state as a 1-row DataFrame: closed
+    // form for the uniform start, afterwards an aggregate over the
+    // checkpointed state, materialized by the broadcast inside the update
+    // job itself — no separate driver action. (A broadcast row, not a
+    // literal: the generated code stays byte-identical across iterations,
+    // so the codegen cache hits instead of recompiling.)
+    def danglingOf(state: DataFrame): DataFrame =
+      state.agg(coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)).as("danglingMass"))
+    var danglingDf = initialDangling match {
+      case Some(d) => { import spark.implicits._; Seq(d).toDF("danglingMass") }
+      case None => danglingOf(ranks)
     }
 
     var iter = startIter
@@ -215,65 +241,69 @@ object PageRank {
       // vertex-state side — avoiding the per-iteration SMJ sorts of the
       // edge table (measured: sort spill/GC churn dominates otherwise).
       val contribs = g.e
-        .join(g.vdeg.join(ranks.hint("shuffle_hash"), Seq("id")).hint("shuffle_hash"),
-          g.e("src") === g.vdeg("id"))
+        .join(ranks.select(col("id"), col("outdeg"), col("rank")).hint("shuffle_hash"),
+          g.e("src") === col("id"))
         .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("dst")
         .agg(sum("c").as("contrib"))
 
-      // Dangling mass enters as a 1-row broadcast, NOT a literal: the
-      // generated code is then byte-identical across iterations, so the
-      // codegen cache hits instead of recompiling every iteration.
-      val danglingDf = {
-        import spark.implicits._
-        Seq(dangling).toDF("danglingMass")
-      }
-      val newRanks = g.vdeg
-        .join(contribs, g.vdeg("id") === contribs("dst"), "left")
+      val newRanks = ranks.select(col("id"), col("outdeg"), col("rank").as("old"))
+        .join(contribs.hint("shuffle_hash"), col("id") === contribs("dst"), "left")
         .crossJoin(broadcast(danglingDf))
         .select(
-          col("id"),
+          col("id"), col("outdeg"),
           (lit((1.0 - cfg.alpha) / g.n) +
             lit(cfg.alpha) * (coalesce(col("contrib"), lit(0.0)) +
-              col("danglingMass") / g.n)).as("rank")
+              col("danglingMass") / g.n)).as("rank"),
+          col("old")
         )
         .localCheckpoint(true)
 
-      // One action: L1 delta + next-iteration dangling mass.
-      val row = newRanks
-        .join(ranks.withColumnRenamed("rank", "old"), Seq("id"))
-        .join(g.vdeg.select(col("id"), col("outdeg")), Seq("id"))
-        .agg(
-          sum(abs(col("rank") - col("old"))).as("delta"),
-          coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)).as("dangling")
-        )
-        .first()
-      val delta = row.getDouble(0)
-      dangling = row.getDouble(1)
-      deltas :+= delta
+      var delta = 0.0
+      var danglingVal = 0.0
+      if (needStats) {
+        // L1 delta + dangling mass in one SCAN of the fresh state (no
+        // joins: old/outdeg ride in the checkpoint).
+        val row = newRanks
+          .agg(
+            sum(abs(col("rank") - col("old"))).as("delta"),
+            coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)).as("dangling")
+          )
+          .first()
+        delta = row.getDouble(0)
+        danglingVal = row.getDouble(1)
+        deltas :+= delta
+      }
 
       checkpointRdd(ranks).foreach(_.unpersist(false))
       ranks = newRanks
+      danglingDf = danglingOf(ranks)
       iter += 1
-      converged = delta < cfg.tol
+      converged = needStats && delta < cfg.tol
 
       cfg.checkpoint match {
         case Durable(runDir, every) if iter % every == 0 || converged =>
           val beforeCommit = ranks
+          // Durable snapshots stay (id, rank) — the resume/consumer
+          // contract is unchanged; the wide loop state is rebuilt from
+          // the cached vdeg after the commit round-trip.
           ranks = Supersteps
             .commit(
-              spark, runDir, iter, ranks,
+              spark, runDir, iter, ranks.select(col("id"), col("rank")),
               Map(
                 "l1_delta" -> delta,
                 "n_vertices" -> g.n.toDouble,
                 "n_edges" -> g.m.toDouble,
-                "dangling_mass" -> dangling,
+                "dangling_mass" -> danglingVal,
                 "converged" -> (if (converged) 1.0 else 0.0)
               )
             )
+            .join(g.vdeg, Seq("id"))
+            .select(col("id"), col("outdeg"), col("rank"), col("rank").as("old"))
             .repartition(g.parts, col("id"))
             .localCheckpoint(true)
           checkpointRdd(beforeCommit).foreach(_.unpersist(false))
+          danglingDf = danglingOf(ranks)
         case _ => ()
       }
     }
@@ -281,7 +311,7 @@ object PageRank {
     // cached graph inputs so repeated runs in one JVM don't bloat storage.
     g.e.unpersist(false)
     g.vdeg.unpersist(false)
-    PageRankResult(ranks, iter, converged, deltas, g.m, g.n,
+    PageRankResult(ranks.select(col("id"), col("rank")), iter, converged, deltas, g.m, g.n,
       loopSeconds = (System.nanoTime() - loopT0) / 1e9)
   }
 }

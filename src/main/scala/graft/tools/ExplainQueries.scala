@@ -13,7 +13,7 @@ object ExplainQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = args.drop(1).toSet
-    val spark = Sessions.local(4, "explain-queries")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "explain-queries")
     SparkEntry.queries.filter(q => names.isEmpty || names(q._1)).foreach { case (name, fn) =>
       println(s"\n===================== $name =====================")
       try fn(spark, sfDir).explain("formatted")
