@@ -40,8 +40,11 @@ object ConnectedComponents {
     */
   private def largeStar(bidir: DataFrame, parts: Int): DataFrame = {
     val m = bidir.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+    // shuffle_hash with the per-vertex min as build side: skips the
+    // sort-merge's per-round sort of the full frontier (PageRank's
+    // contribution-join reasoning)
     bidir
-      .join(m, "u")
+      .join(m.hint("shuffle_hash"), "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .repartition(parts, col("u"))
@@ -66,7 +69,7 @@ object ConnectedComponents {
   private def smallStarOriented(le: DataFrame, parts: Int): DataFrame = {
     val m = le.groupBy(col("u")).agg(min(col("v")).as("m"))
     val reattached = le
-      .join(m, "u")
+      .join(m.hint("shuffle_hash"), "u")
       .select(col("v").as("u"), col("m").as("v"))
     val selfEdge = m.select(col("u"), col("m").as("v"))
     reattached.union(selfEdge).filter(col("u") =!= col("v"))

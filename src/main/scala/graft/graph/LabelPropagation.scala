@@ -102,9 +102,13 @@ object LabelPropagation {
     var converged = false
     while (iter < maxIter && !converged) {
       val lbl = labels.select(col("id"), col("label"))
-      // neighbor labels: edge (u <- label(v))
+      // neighbor labels: edge (u <- label(v)). shuffle_hash on the
+      // (small) label-state side: the join is co-partitioned, so the
+      // hint yields a zero-exchange hash join and — unlike the default
+      // sort-merge — skips re-sorting the cached 2x|E| bidir side every
+      // iteration (the same reasoning as PageRank's contribution join).
       val votes = bidir
-        .join(lbl, bidir("v") === lbl("id"))
+        .join(lbl.hint("shuffle_hash"), bidir("v") === lbl("id"))
         .groupBy(col("u"), col("label"))
         .agg(count(lit(1)).as("n"))
       // Per-vertex argmax as an aggregation (count desc, label asc): hub
@@ -123,7 +127,7 @@ object LabelPropagation {
       // hash(id) partitioning, so no repartition is needed to preserve
       // the co-partitioned joins of the next iteration.
       val newLabels = lbl
-        .join(picked, Seq("id"), "left")
+        .join(picked.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"),
           col("label").as("old"))
         .localCheckpoint(true)
