@@ -526,6 +526,10 @@ object SparkEntry {
       val out = s"/tmp/graft_csv_roundtrip_${new java.io.File(d).getName}"
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
+        // cluster by the partition column before the write (guide §6:
+        // small files hurt twice): one file per lang instead of
+        // tasks x langs, so the glob read back lists/opens ~#langs files
+        .repartition(col("lang"))
         .write.mode("overwrite").partitionBy("lang")
         .option("header", "true").csv(out)
       s.read.option("header", "true").option("inferSchema", "false").csv(s"$out/lang=*/")

@@ -63,14 +63,19 @@ object AuthorMerge {
     val withCites = remapped
       .join(papers.select(col("paperID"), col("citationCount")), Seq("paperID"), "left")
       .na.fill(0, Seq("citationCount"))
+    // ONE aggregation for all three stats (r07): PaperCount, CitationCount
+    // and hIndex share the groupBy(authorID) exchange; the h-index is the
+    // codegen'd sorted-prefix count over the group's citation list
+    // (HIndex.hIndexOfList) — the previous shape paid a window sort plus
+    // a second aggregate plus a stats⋈h join for the same result. Every
+    // author has >= 1 paper, so the old left-join + fill(0) path could
+    // never fire — dropping it is value-identical.
     val stats = withCites
       .groupBy(col("authorID"))
       .agg(
         count(lit(1)).as("PaperCount"),
-        sum(col("citationCount")).as("CitationCount"))
-    val h = HIndex.perGroup(
-      withCites.select(col("authorID"), col("citationCount").as("c")), "authorID", "c")
-      .withColumnRenamed("h_index", "hIndex")
-    (remapped, stats.join(h, Seq("authorID"), "left").na.fill(0, Seq("hIndex")))
+        sum(col("citationCount")).as("CitationCount"),
+        HIndex.hIndexOfList(collect_list(col("citationCount").cast("long"))).as("hIndex"))
+    (remapped, stats)
   }
 }

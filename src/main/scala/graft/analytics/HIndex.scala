@@ -20,9 +20,39 @@ import org.apache.spark.sql.Encoders
 object HIndex {
 
   /** (groupCol, citationCol) -> (groupCol, h_index). `citation > i`
-    * 0-based == `citation >= row_number` 1-based.
+    * 0-based == `citation >= position` 1-based.
+    *
+    * Single hash-aggregation (r07): collect the group's citation counts,
+    * sort descending in codegen, count positions with c_j >= j. One
+    * exchange and no partition-wide sort — the previous window
+    * (row_number) + re-aggregate form paid a full Tungsten sort of every
+    * partition for a per-group ordering (guide §2.4: the window's
+    * partitioning already matched the groupBy, but its SORT was the
+    * cost). The per-group array is bounded by group cardinality (papers
+    * per author); for groups of unbounded cardinality use
+    * `perGroupWindowed`, which spills.
     */
-  def perGroup(df: DataFrame, groupCol: String, citationCol: String): DataFrame = {
+  def perGroup(df: DataFrame, groupCol: String, citationCol: String): DataFrame =
+    df.select(col(groupCol), col(citationCol).cast("long").as("__c"))
+      .groupBy(col(groupCol))
+      .agg(hIndexOfList(collect_list(col("__c"))).as("h_index"))
+
+  /** h-index of an (unsorted) citation-count array column, as a LongType
+    * codegen expression: sort desc, then count 1-based positions with
+    * c_j >= j (a prefix of the sorted array — counting all satisfying
+    * positions equals the prefix length).
+    */
+  def hIndexOfList(counts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sorted = reverse(array_sort(counts))
+    size(filter(zip_with(sorted, sequence(lit(1), size(sorted)), (c, j) => c >= j),
+      b => b)).cast("long")
+  }
+
+  /** Window-based formulation (pre-r07 `perGroup`): same result, one
+    * partition-wide sort instead of per-group arrays — the safe shape
+    * when single groups may not fit in an aggregation buffer.
+    */
+  def perGroupWindowed(df: DataFrame, groupCol: String, citationCol: String): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__c").desc)
     df.select(col(groupCol), col(citationCol).cast("long").as("__c"))
       .withColumn("__rn", row_number().over(w))

@@ -36,11 +36,36 @@ object Sessions {
     val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS")
       .orElse(sys.props.get("spark.graft.shuffle.parts"))
       .map(_.toInt).getOrElse(cores)
+    // Shuffle-payload compression is a bandwidth-for-CPU trade (guide
+    // §2.3: "there is no universal answer — measure"). The engine's RDD
+    // loop shuffles move pre-combined primitive bundles (high-entropy
+    // doubles) — when the shuffle medium is tmpfs (/dev/shm, the local
+    // bench default), lz4 on those bytes is pure CPU overhead: measured
+    // on the 41.3M-edge north probe at local[32], loop 17.8 -> 16.9 s
+    // and prepare 22.7 -> 17.6 s with compression off. On a cluster,
+    // shuffle crosses real NICs/disks and compression stays ON (the
+    // default) unless SPARK_GRAFT_SHUFFLE_COMPRESS says otherwise.
+    val shuffleDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .orElse(sys.props.get("spark.graft.local.dir"))
+    val shuffleCompress = sys.env.get("SPARK_GRAFT_SHUFFLE_COMPRESS")
+      .orElse(sys.props.get("spark.graft.shuffle.compress"))
+      .map(_.toBoolean)
+      .getOrElse(!shuffleDir.exists(_.startsWith("/dev/shm")))
     val spark = builder
       // the engine's Catalyst extension (declarative-idiom rewrites, see
       // plans.GraftExtensions) — registered by conf, the same shape a
       // production spark-submit would use
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Kryo for the RDD paths (CSR loop blocks, persisted/spilled graph
+      // state): primitive-array case classes serialize via bulk writes
+      // instead of Java ObjectOutputStream's per-element walk. Measured
+      // on the 41.3M-edge north probe: prepare 32.8 -> 22.7 s, loop
+      // 19.9 -> 17.8 s. DataFrame/Dataset exchanges use Tungsten's own
+      // format either way — this only touches RDD shuffle/persist bytes.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryoserializer.buffer.max", "256m")
+      .config("spark.shuffle.compress", shuffleCompress.toString)
+      .config("spark.shuffle.spill.compress", shuffleCompress.toString)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

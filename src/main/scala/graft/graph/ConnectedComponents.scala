@@ -167,10 +167,16 @@ object ConnectedComponents {
       // not recomputations), and largeStar's output orientation (v < u)
       // feeds smallStarOriented directly — no symmetrize-then-refilter.
       val afterLarge = largeStar(bidirL, PrRound).localCheckpoint(true)
+      // LAZY checkpoint of the new frontier: the signature action below
+      // materializes it AND computes the fixpoint signature in one job
+      // (r07; PageRank.iterate has the same single-action design).
+      // afterLarge may only be released AFTER that job — its lineage is
+      // truncated, so dropping its blocks earlier would make the lazy
+      // frontier irrecoverable.
       var next = smallStarOriented(afterLarge, PrRound)
-        .localCheckpoint(true)
-      releaseCheckpoint(afterLarge)
+        .localCheckpoint(false)
       val sig = signature(next)
+      releaseCheckpoint(afterLarge)
       rounds += 1
       stable = sig == prevSig
       prevSig = sig

@@ -121,16 +121,19 @@ object LabelPropagation {
         .agg(max_by(col("label"), struct(col("n"), negate(col("label")))).as("newLabel"))
         .select(col("u").as("id"), col("newLabel"))
 
-      // Eager localCheckpoint per iteration: truncates lineage and avoids
-      // the CacheManager invalidate-rebuild trap of persist/unpersist
-      // chains (see PageRank.iterate). The left join keeps the state's
-      // hash(id) partitioning, so no repartition is needed to preserve
-      // the co-partitioned joins of the next iteration.
+      // LAZY localCheckpoint per iteration: the changed-count action
+      // below materializes the new state (all partitions cached, lineage
+      // truncated after the job) AND returns the count — one job per
+      // iteration instead of checkpoint-then-count (r07; see
+      // PageRank.iterate for the same single-action design). The left
+      // join keeps the state's hash(id) partitioning, so no repartition
+      // is needed to preserve the co-partitioned joins of the next
+      // iteration.
       val newLabels = lbl
         .join(picked.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"),
           col("label").as("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       val changed = newLabels.filter(col("label") =!= col("old")).count()
       labels.queryExecution.analyzed.collectFirst {

@@ -170,14 +170,13 @@ object PageRank {
     }
   }
 
-  /** Iteration loop: exactly TWO jobs per iteration —
-    *  1. the eager localCheckpoint of the new rank state (contribution
-    *     join + single groupBy(dst) shuffle + finalize join, all
-    *     co-partitioned);
-    *  2. a combined scalar job computing the L1 delta AND the next
-    *     iteration's dangling mass in one co-partitioned join-aggregate.
-    * Dangling mass enters the update as a driver scalar (mathematically
-    * identical to conservation: Σ_{outdeg=0} rank = 1 − Σ contribs).
+  /** Iteration loop: exactly ONE job per iteration — the scalar
+    * aggregate (L1 delta + next dangling mass) runs over the LAZILY
+    * locally-checkpointed new state, so the same job materializes the
+    * state (contribution join + single groupBy(dst) shuffle + finalize
+    * join, all co-partitioned), truncates its lineage, and returns the
+    * scalars. Dangling mass enters the next update as a driver-local
+    * 1-row broadcast (no executor job to build it).
     *
     * Eager localCheckpoint truncates lineage EVERY iteration: the new
     * state becomes a materialized LogicalRDD with no plan dependency on
@@ -220,23 +219,27 @@ object PageRank {
       .select(col("id"), col("outdeg"), col("rank"), col("rank").as("old"))
 
     val durable = cfg.checkpoint match { case _: Durable => true; case _ => false }
-    // The delta job exists to decide convergence and to feed durable
-    // metrics. With tol <= 0 and local-only checkpointing the loop runs a
-    // fixed iteration count and the delta is observable nowhere — skip
-    // the per-iteration action entirely.
+    // With tol <= 0 and local-only checkpointing the loop runs a fixed
+    // iteration count and the L1 delta is observable nowhere — the
+    // per-iteration stats read skips it (the dangling sum alone is
+    // needed, and it rides the same action either way).
     val needStats = cfg.tol > 0 || durable
 
-    // Dangling mass of the CURRENT state as a 1-row DataFrame: closed
-    // form for the uniform start, afterwards an aggregate over the
-    // checkpointed state, materialized by the broadcast inside the update
-    // job itself — no separate driver action. (A broadcast row, not a
-    // literal: the generated code stays byte-identical across iterations,
-    // so the codegen cache hits instead of recompiling.)
-    def danglingOf(state: DataFrame): DataFrame =
-      state.agg(coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)).as("danglingMass"))
-    var danglingDf = initialDangling match {
-      case Some(d) => { import spark.implicits._; Seq(d).toDF("danglingMass") }
-      case None => danglingOf(ranks)
+    // Dangling mass of the CURRENT state as a driver-local 1-row
+    // DataFrame (LocalRelation): its broadcast is built on the driver
+    // with no executor job, and because the value lives in the relation
+    // DATA — not the generated code — the update plan stays byte-
+    // identical across iterations, so the codegen cache hits instead of
+    // recompiling. (r07: this replaces a per-iteration broadcast-agg
+    // scan of the previous state — guide §1.2 step 1, one job per
+    // iteration instead of two.)
+    def danglingLit(d: Double): DataFrame = {
+      import spark.implicits._; Seq(d).toDF("danglingMass")
+    }
+    var danglingVal = initialDangling.getOrElse {
+      // resumed snapshot: one scan of the rebuilt state
+      ranks.agg(coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)))
+        .first().getDouble(0)
     }
 
     var iter = startIter
@@ -255,9 +258,14 @@ object PageRank {
         .groupBy("dst")
         .agg(sum("c").as("contrib"))
 
+      // LAZY local checkpoint: the stats action below both MATERIALIZES
+      // the new state (all partitions cached, lineage truncated after
+      // the job) and returns the scalars — exactly ONE job per
+      // iteration, the same single-action design as CsrPageRank's
+      // dangling fold.
       val newRanks = ranks.select(col("id"), col("outdeg"), col("rank").as("old"))
         .join(contribs.hint("shuffle_hash"), col("id") === contribs("dst"), "left")
-        .crossJoin(broadcast(danglingDf))
+        .crossJoin(broadcast(danglingLit(danglingVal)))
         .select(
           col("id"), col("outdeg"),
           (lit((1.0 - cfg.alpha) / g.n) +
@@ -265,27 +273,22 @@ object PageRank {
               col("danglingMass") / g.n)).as("rank"),
           col("old")
         )
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
-      var delta = 0.0
-      var danglingVal = 0.0
-      if (needStats) {
-        // L1 delta + dangling mass in one SCAN of the fresh state (no
-        // joins: old/outdeg ride in the checkpoint).
-        val row = newRanks
-          .agg(
-            sum(abs(col("rank") - col("old"))).as("delta"),
-            coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)).as("dangling")
-          )
-          .first()
-        delta = row.getDouble(0)
-        danglingVal = row.getDouble(1)
-        deltas :+= delta
-      }
+      // L1 delta + next iteration's dangling mass in one scan fused into
+      // the materializing job (no joins: old/outdeg ride in the state).
+      val row = newRanks
+        .agg(
+          (if (needStats) sum(abs(col("rank") - col("old"))) else lit(0.0)).as("delta"),
+          coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0.0)).as("dangling")
+        )
+        .first()
+      val delta = row.getDouble(0)
+      danglingVal = row.getDouble(1)
+      if (needStats) deltas :+= delta
 
       checkpointRdd(ranks).foreach(_.unpersist(false))
       ranks = newRanks
-      danglingDf = danglingOf(ranks)
       iter += 1
       converged = needStats && delta < cfg.tol
 
@@ -311,7 +314,8 @@ object PageRank {
             .repartition(g.parts, col("id"))
             .localCheckpoint(true)
           checkpointRdd(beforeCommit).foreach(_.unpersist(false))
-          danglingDf = danglingOf(ranks)
+          // danglingVal is unchanged: the commit round-trips the exact
+          // double rank values, so the pre-commit sum still holds.
         case _ => ()
       }
     }

@@ -182,7 +182,14 @@ object TableUpsert {
       // failed rename aborts the commit rather than silently committing a
       // pointer to a missing directory.
       val staging = s"$tableDir/_staging_v$n"
-      merged.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+      // Cluster by bucket before the staged write (guide §6 output
+      // sizing): each bucket's version dir gets ONE file instead of one
+      // per (write task x bucket) — B files per commit, not tasks x B,
+      // which keeps the rename loop, the pointer-resolved read's listing,
+      // and long-term file counts proportional to the touched buckets.
+      // Bucket sizing (numBuckets at creation) controls file size.
+      merged.repartition(col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(staging)
       val staged = f.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
         .map(_.getPath).filter(_.getName.startsWith("__bucket="))
         .map(p => p.getName.stripPrefix("__bucket=").toInt -> p)
