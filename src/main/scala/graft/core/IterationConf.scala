@@ -73,6 +73,11 @@ object IterationConf {
     * rows/targetRowsPerPartition (floor 1, ceiling the session default:
     * a 10^12-row frontier keeps every partition).
     */
-  def sizedPartitions(sessionParts: Int, rows: Long, targetRowsPerPartition: Long = 250000L): Int =
-    math.max(1L, math.min(sessionParts.toLong, (rows + targetRowsPerPartition - 1) / targetRowsPerPartition)).toInt
+  def sizedPartitions(sessionParts: Int, rows: Long, targetRowsPerPartition: Long = 250000L): Int = {
+    // tuning knob (dev/experiments + cluster overrides): a global target
+    // override; call-site defaults are the measured local optima
+    val target = sys.props.get("graft.loop.target.rows").map(_.toLong)
+      .getOrElse(targetRowsPerPartition)
+    math.max(1L, math.min(sessionParts.toLong, (rows + target - 1) / target)).toInt
+  }
 }

@@ -166,13 +166,17 @@ object ConnectedComponents {
       // small-star phase reads it (and its own two consumers read blocks,
       // not recomputations), and largeStar's output orientation (v < u)
       // feeds smallStarOriented directly — no symmetrize-then-refilter.
-      val afterLarge = largeStar(bidirL, PrRound).localCheckpoint(true)
-      // LAZY checkpoint of the new frontier: the signature action below
-      // materializes it AND computes the fixpoint signature in one job
-      // (r07; PageRank.iterate has the same single-action design).
-      // afterLarge may only be released AFTER that job — its lineage is
-      // truncated, so dropping its blocks earlier would make the lazy
-      // frontier irrecoverable.
+      // LAZY checkpoints throughout the round: the ONE signature action
+      // below computes large-star (cached at its checkpoint boundary —
+      // small-star's two consumers, the min aggregate and the re-attach
+      // probe, run in the same zero-exchange stage, so the second read
+      // hits the block computed by the first), then the new frontier, and
+      // the fixpoint signature — a single job per round (r07;
+      // PageRank.iterate has the same single-action design). afterLarge
+      // may only be released AFTER that job — its lineage is truncated,
+      // so dropping its blocks earlier would make the lazy frontier
+      // irrecoverable.
+      val afterLarge = largeStar(bidirL, PrRound).localCheckpoint(false)
       var next = smallStarOriented(afterLarge, PrRound)
         .localCheckpoint(false)
       val sig = signature(next)
@@ -208,10 +212,14 @@ object ConnectedComponents {
     }
   }
 
+  // Direct top-level LogicalRDD only — a deep collectFirst could reach a
+  // CALLER-supplied checkpointed RDD through the round-0 frontier's plan
+  // and unpersist it (see PageRank.checkpointRdd, r07 fix).
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   private def signature(e: DataFrame): (Long, Long) = {
     // bit_xor: order-insensitive, overflow-free (edge set is distinct).

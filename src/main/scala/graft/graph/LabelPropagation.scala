@@ -58,6 +58,14 @@ object LabelPropagation {
     * never mutated (thread-safe under concurrent queries). The result is
     * re-bound to the caller's session.
     */
+  // Direct top-level LogicalRDD only (see PageRank.checkpointRdd, r07):
+  // never unpersist an RDD reached deep inside a non-checkpoint plan.
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   private def iterate(edges: Dataset[Edge], labels0: Option[DataFrame], iter0: Int,
                       maxIter: Int, checkpoint: CheckpointPolicy): LpaResult = {
     val callerSpark = edges.sparkSession
@@ -136,9 +144,7 @@ object LabelPropagation {
         .localCheckpoint(false)
 
       val changed = newLabels.filter(col("label") =!= col("old")).count()
-      labels.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(false))
+      releaseCheckpoint(labels)
       labels = newLabels
       iter += 1
       converged = changed == 0
@@ -155,9 +161,7 @@ object LabelPropagation {
             .select(col("id"), col("label"), col("label").as("old"))
             .repartition(Pr, col("id"))
             .localCheckpoint(true)
-          before.queryExecution.analyzed.collectFirst {
-            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-          }.foreach(_.unpersist(false))
+          releaseCheckpoint(before)
         case _ => ()
       }
     }

@@ -184,13 +184,20 @@ object PageRank {
     * Spark's CacheManager to invalidate+rebuild dependent cache entries
     * on every unpersist — measured exponential recompute.)
     */
-  /** The RDD behind an eagerly localCheckpoint'ed Dataset (to free its
-    * blocks as soon as the next iteration no longer needs them — relying
-    * on GC-driven ContextCleaner instead causes storage churn spikes).
+  /** The RDD behind a locally-checkpoint'ed Dataset (to free its blocks
+    * as soon as the next iteration no longer needs them — relying on
+    * GC-driven ContextCleaner instead causes storage churn spikes).
+    * ONLY a direct top-level LogicalRDD matches: a deep collectFirst
+    * would, on the first iteration (state still a projection over the
+    * inputs), reach down the plan and unpersist a CALLER-supplied
+    * checkpointed edge RDD — irrecoverable for a local checkpoint
+    * (r07 fix; previously latent because every declared query feeds
+    * parquet-backed edges).
     */
   private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
     }
 
   private def iterate(

@@ -89,7 +89,12 @@ object TriangleCount {
     */
   def countDf(edges: Dataset[Edge]): DataFrame = {
     val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val o = oriented(edges).repartition(parts, col("a")).localCheckpoint(true)
+    // LAZY checkpoint: all three consumers (edge stream, both adjacency
+    // sides) sit under the single count action, whose stages are ordered
+    // by their shuffle dependencies — the first stage to touch a
+    // partition computes and caches it, the rest read blocks. One job
+    // total instead of checkpoint-then-count (r07).
+    val o = oriented(edges).repartition(parts, col("a")).localCheckpoint(false)
     val adj = o.groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs"))
     val na = adj.select(col("a"), col("nbrs").as("na_nbrs"))
     val nb = adj.select(col("a").as("b"), col("nbrs").as("nb_nbrs"))
