@@ -42,15 +42,20 @@ object EdgeExtraction {
 
   /** Exploded references: one row per (src file, referenced module). */
   def references(stamped: DataFrame): DataFrame = {
-    // Per-row pattern column from lang, then extract all matches.
-    val pat = when(col("lang") === "scala", lit(importPatterns("scala")))
-      .when(col("lang") === "py", lit(importPatterns("py")))
-      .when(col("lang") === "c", lit(importPatterns("c")))
+    // One RegExpExtractAll instance per language, each with a CONSTANT
+    // pattern, dispatched by a when/otherwise on lang (r07): the previous
+    // per-row pattern COLUMN defeated the expression's compiled-pattern
+    // cache — langs interleave row-to-row, so java.util.regex recompiled
+    // on most rows. Branch conditions are disjoint, only the matching
+    // branch evaluates, results identical. Still one scan, no shuffle.
+    val refs = when(col("lang") === "scala",
+        regexp_extract_all(col("content"), lit(importPatterns("scala")), lit(1)))
+      .when(col("lang") === "py",
+        regexp_extract_all(col("content"), lit(importPatterns("py")), lit(1)))
+      .when(col("lang") === "c",
+        regexp_extract_all(col("content"), lit(importPatterns("c")), lit(1)))
     stamped
-      .select(
-        col("file_id").as("src"),
-        explode(regexp_extract_all(col("content"), pat, lit(1))).as("ref_module")
-      )
+      .select(col("file_id").as("src"), explode(refs).as("ref_module"))
       .select(col("src"), lower(col("ref_module")).as("ref_module"))
   }
 
