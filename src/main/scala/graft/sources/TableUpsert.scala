@@ -159,12 +159,14 @@ object TableUpsert {
     upd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var committed = false
     try {
-      // touched buckets: at most B driver-side ints, never data rows
-      val touched = upd.select(col("__bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted.toSeq
       val merged = st match {
-        case None => upd
+        case None => upd // creation: every staged bucket is new — no
+        // current rows to merge, so the touched-bucket collect job is
+        // skipped entirely (r07)
         case Some(s) =>
+          // touched buckets: at most B driver-side ints, never data rows
+          val touched = upd.select(col("__bucket")).distinct()
+            .collect().map(_.getInt(0)).sorted.toSeq
           val curPaths = touched.flatMap(b => s.bucketVersions.get(b)
             .map(v => s"$tableDir/bucket=$b/v$v"))
           if (curPaths.isEmpty) upd
