@@ -32,3 +32,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // healthy at local[32] for the bench sizes used.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq.filter(_.nonEmpty))
+ThisBuild / scalacOptions += "-deprecation"

@@ -584,20 +584,20 @@ object SparkEntry {
           .otherwise(
             concat_ws(" ", concat(element_at(col("tk"), 1), lit("x")), element_at(col("tk"), 2)))
           .as("name2"))
-      val given = array(Seq("wei", "fang", "min", "jun", "lei", "na").map(lit): _*)
+      val givenNames = array(Seq("wei", "fang", "min", "jun", "lei", "na").map(lit): _*)
       val sur = array(Seq("zhang", "wang", "li", "zhao", "chen", "yang").map(lit): _*)
       val gi = (col("c_custkey") % 6 + 1).cast("int")
       val si = (expr("(c_custkey % 36) div 6") + 1).cast("int")
       val s2i = (expr("((c_custkey % 36) div 6 + 1) % 6") + 1).cast("int")
       val cust = t(s, d, "customer").filter(col("c_custkey") <= 150)
         .select((col("c_custkey") + 10000).as("id"),
-          concat_ws(" ", element_at(given, gi), element_at(sur, si)).as("name1"),
+          concat_ws(" ", element_at(givenNames, gi), element_at(sur, si)).as("name1"),
           when(col("c_custkey") % 2 === 0,
-            concat(element_at(given, gi), element_at(sur, si)))
+            concat(element_at(givenNames, gi), element_at(sur, si)))
           .when(col("c_custkey") % 4 === 1,
-            concat_ws(" ", element_at(given, gi), element_at(sur, s2i)))
+            concat_ws(" ", element_at(givenNames, gi), element_at(sur, s2i)))
           .otherwise(
-            concat_ws(" ", element_at(given, gi), concat(element_at(sur, si), lit("x"))))
+            concat_ws(" ", element_at(givenNames, gi), concat(element_at(sur, si), lit("x"))))
           .as("name2"))
       pp.unionByName(cust)
         .select(col("id"), col("name1"), col("name2"),

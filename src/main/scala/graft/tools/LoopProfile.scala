@@ -19,13 +19,13 @@ object LoopProfile {
     val spark = Sessions.local(32, "loop-profile")
     @volatile var jobs = 0
     @volatile var jobWallMs = 0L
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         starts.put(j.jobId, j.time); jobs += 1
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        val s = starts.remove(j.jobId); if (s != null) jobWallMs += (j.time - s)
+        val s = starts.remove(j.jobId); if (s != null) jobWallMs += (j.time - s.longValue)
       }
     })
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
