@@ -118,13 +118,20 @@ object EdgeStream {
     * the custom-state shape mapGroupsWithState can't express (a closing
     * session and a fresh one must BOTH leave the same invocation, so the
     * output is an iterator). A session is a maximal run of a source's
-    * edges with consecutive gaps <= `gapMs` of EVENT time; a session
-    * closes either when a later in-gap-violating event for the same key
-    * arrives, or when the watermark passes end+gap (event-time timeout).
-    * State per key is one (start, end, n) triple — bounded by the
-    * distinct ACTIVE key count, because closed sessions leave the store.
-    * Late rows older than the watermark `lateness` are dropped before
-    * grouping (deterministic, same rule as the windowed aggregates).
+    * edges with consecutive gaps <= `gapMs` of EVENT time. A session is
+    * emitted only once it is FINAL — when the watermark has passed
+    * end+gap, so no event the watermark still admits can extend or merge
+    * it (the same closure rule as Spark's session_window). Until then it
+    * stays in state, even if a later same-key event has already opened a
+    * newer session: an in-`lateness` straggler must be able to land in
+    * the session it belongs to, not be mis-attached to the newest one
+    * (ADVICE r6 — eager closure of non-latest sessions split sessions
+    * across batches). State per key is the list of not-yet-final
+    * sessions — bounded by the distinct ACTIVE key count times the few
+    * sessions per key inside one lateness horizon, because final
+    * sessions leave the store. Late rows older than the watermark
+    * `lateness` are dropped before grouping (deterministic, same rule as
+    * the windowed aggregates).
     */
   def sourceSessions(
       edges: Dataset[TimedEdge],
@@ -137,37 +144,40 @@ object EdgeStream {
     edges
       .withWatermark("ts", lateness)
       .groupByKey(_.src)
-      .flatMapGroupsWithState[(Long, Long, Long), SourceSession](
+      .flatMapGroupsWithState[List[(Long, Long, Long)], SourceSession](
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
-        (src: Long, rows: Iterator[TimedEdge], state: GroupState[(Long, Long, Long)]) =>
-          if (state.hasTimedOut) {
-            val (start, end, n) = state.get
-            state.remove()
-            Iterator.single(SourceSession(src, t(start), t(end), n))
-          } else {
-            // Rows are unordered within a micro-batch, and an event
-            // admitted by the watermark may even precede the open
-            // session's start (out-of-order arrival across batches). So:
-            // sort (start, start, 1) singletons together with the open
-            // state session by start and coalesce any neighbors within
-            // `gapMs` — an order-insensitive fold (a naive "tm - end <=
-            // gap" absorbs any BACKWARD event, however far before the
-            // session). Everything but the latest session closes now; an
-            // extreme straggler for an already-closed session starts a
-            // new one rather than reopening it (closure is final).
-            val pieces = state.getOption.toSeq ++ rows.map(r => (r.ts.getTime, r.ts.getTime, 1L))
-            val merged = pieces.sortBy(_._1).foldLeft(List.empty[(Long, Long, Long)]) {
-              case (h :: rest, s) if s._1 <= h._2 + gapMs =>
-                (h._1, math.max(h._2, s._2), h._3 + s._3) :: rest
-              case (acc, s) => s :: acc
-            }.reverse
-            val open = merged.last
+        (src: Long, rows: Iterator[TimedEdge], state: GroupState[List[(Long, Long, Long)]]) =>
+          // One body serves both the data and the timeout invocation: on
+          // timeout `rows` is empty and the merge is the identity.
+          //
+          // Rows are unordered within a micro-batch, and an event
+          // admitted by the watermark may even precede an open session's
+          // start (out-of-order arrival across batches). So: sort
+          // (start, start, 1) singletons together with the kept state
+          // sessions by start and coalesce any neighbors within `gapMs`
+          // — an order-insensitive fold (a naive "tm - end <= gap"
+          // absorbs any BACKWARD event, however far before the session).
+          val wm = state.getCurrentWatermarkMs()
+          val pieces = state.getOption.getOrElse(Nil) ++ rows.map(r => (r.ts.getTime, r.ts.getTime, 1L))
+          val merged = pieces.sortBy(_._1).foldLeft(List.empty[(Long, Long, Long)]) {
+            case (h :: rest, s) if s._1 <= h._2 + gapMs =>
+              (h._1, math.max(h._2, s._2), h._3 + s._3) :: rest
+            case (acc, s) => s :: acc
+          }.reverse
+          // Final = the watermark passed end+gap, so no admissible event
+          // (ts >= wm can still merge when ts == end+gap, hence strict <)
+          // can reach it. Everything else — including sessions older than
+          // the newest — stays in state for in-lateness stragglers.
+          val (fin, open) = merged.partition(se => se._2 + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
             state.update(open)
-            // the timeout must sit strictly past the current watermark
-            state.setTimeoutTimestamp(math.max(open._2 + gapMs, state.getCurrentWatermarkMs() + 1))
-            merged.init.iterator.map { case (s0, e0, n0) => SourceSession(src, t(s0), t(e0), n0) }
+            // fire when the earliest kept session becomes final; the API
+            // requires the timeout strictly past the current watermark
+            state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wm + 1))
           }
+          fin.iterator.map { case (s0, e0, n0) => SourceSession(src, t(s0), t(e0), n0) }
       }
   }
 

@@ -299,9 +299,15 @@ object Multimodal {
     * 8-dim content feature is the mean luminance of up to 8 frames
     * sampled evenly across the animation (each frame's raster strided
     * like `decode`; unused slots when the clip has <8 frames stay -1 so
-    * "no frame" is distinguishable from "black frame"). Real codec video
-    * (MP4/H.264/VP9…) falls back to `decodeStub` — the remaining
-    * declared seam: the JVM ships no video codecs.
+    * "no frame" is distinguishable from "black frame"). Frames are read
+    * as RAW rasters with no disposal/transparency compositing, and
+    * width/height come from the last sampled frame — faithful for
+    * full-frame GIFs (every frame covers the logical screen); an
+    * optimized GIF whose frames are partial sub-rectangles would need
+    * per-disposal compositing onto the logical screen descriptor before
+    * these features (and the clip dimensions) are meaningful (ADVICE
+    * r6). Real codec video (MP4/H.264/VP9…) falls back to `decodeStub`
+    * — the remaining declared seam: the JVM ships no video codecs.
     */
   def decodeGif(row: MediaRow): MediaFeatures = {
     val b = row.media

@@ -210,7 +210,7 @@ class EdgeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState sessionization: gap closes a session in-line; the watermark flushes the open one") {
+  test("flatMapGroupsWithState sessionization: sessions emit only once the watermark passes end+gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EdgeStream.TimedEdge]
     val q = EdgeStream.sourceSessions(mem.toDS(), gapMs = 5 * 60000L, lateness = "0 seconds")
@@ -225,24 +225,26 @@ class EdgeStreamSpec extends SparkSpec {
         EdgeStream.TimedEdge(1L, 11L, tsAt(2)),
         EdgeStream.TimedEdge(1L, 12L, tsAt(4)))
       q.processAllAvailable()
-      assert(rows.isEmpty, s"session must stay open until the gap breaks: $rows")
-      // a 26-minute gap closes session A in the same invocation that opens B
+      assert(rows.isEmpty, s"session must stay open until the watermark passes end+gap: $rows")
+      // a 26-minute gap opens session B; A finalizes once the watermark
+      // (now 10:30) has passed A.end+gap = 10:09 — not in-line with the gap
       mem.addData(EdgeStream.TimedEdge(1L, 13L, tsAt(30)))
       q.processAllAvailable()
-      assert(rows == Set((1L, "2026-01-01 10:00:00", "2026-01-01 10:04:00", 3L)), s"got $rows")
       // another key's far-future events push the watermark past B.end+gap;
       // the event-time timeout flushes B without any more key-1 data
       mem.addData(EdgeStream.TimedEdge(2L, 10L, tsAt(59)))
       q.processAllAvailable()
       mem.addData(EdgeStream.TimedEdge(2L, 11L, tsAt(59)))
       q.processAllAvailable()
-      assert(rows.contains((1L, "2026-01-01 10:30:00", "2026-01-01 10:30:00", 1L)), s"got $rows")
-      // source 2's own session is still open (nothing past its end+gap)
+      assert(rows == Set(
+        (1L, "2026-01-01 10:00:00", "2026-01-01 10:04:00", 3L),
+        (1L, "2026-01-01 10:30:00", "2026-01-01 10:30:00", 1L)), s"got $rows")
+      // source 2's own session is still open (watermark not past its end+gap)
       assert(!rows.exists(_._1 == 2L), s"got $rows")
     } finally q.stop()
   }
 
-  test("sessionization is order-insensitive: backward in-gap events extend start; far-backward events form their own session") {
+  test("sessionization is order-insensitive: backward in-gap events extend start; stragglers join the session they belong to") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EdgeStream.TimedEdge]
     // generous lateness so out-of-order arrivals are admitted
@@ -258,15 +260,27 @@ class EdgeStreamSpec extends SparkSpec {
       // it must extend the session backward, not inflate n at the old start
       mem.addData(EdgeStream.TimedEdge(1L, 11L, tsAt(18)))
       q.processAllAvailable()
-      // ...and a far-backward straggler (>gap before start) must close as
-      // its own one-event session, leaving the open session untouched
+      // ...and a far-backward straggler (>gap before start) forms its own
+      // session, which must STAY in state — the 30-min lateness still
+      // admits events that could extend it, so nothing may emit yet
       mem.addData(EdgeStream.TimedEdge(1L, 12L, tsAt(2)))
       q.processAllAvailable()
-      assert(rows == Set((1L, "2026-01-01 10:02:00", "2026-01-01 10:02:00", 1L)), s"got $rows")
-      // close the open session via the gap rule and check its extended start
-      mem.addData(EdgeStream.TimedEdge(1L, 13L, tsAt(45)))
+      assert(rows.isEmpty, s"no session is final while in-lateness events can reach it: $rows")
+      // the ADVICE r6 case: a later batch's in-lateness straggler within
+      // gap of that OLDER session must merge into it, not be mis-attached
+      // to the newest session (eager closure used to split it off)
+      mem.addData(EdgeStream.TimedEdge(1L, 14L, tsAt(6)))
       q.processAllAvailable()
-      assert(rows.contains((1L, "2026-01-01 10:18:00", "2026-01-01 10:20:00", 2L)), s"got $rows")
+      assert(rows.isEmpty, s"straggler must extend the kept older session, not emit: $rows")
+      // push the watermark past both ends+gap: both sessions flush, and the
+      // straggler is inside the older one (10:02-10:06), not on its own
+      mem.addData(EdgeStream.TimedEdge(1L, 13L, tsAt(60)))
+      q.processAllAvailable()
+      mem.addData(EdgeStream.TimedEdge(1L, 15L, tsAt(62)))
+      q.processAllAvailable()
+      assert(rows == Set(
+        (1L, "2026-01-01 10:02:00", "2026-01-01 10:06:00", 2L),
+        (1L, "2026-01-01 10:18:00", "2026-01-01 10:20:00", 2L)), s"got $rows")
     } finally q.stop()
   }
 }
